@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manual input-type check (AbstractDataType is private[sql] in Spark 4,
+  * so ExpectsInputTypes is unavailable to external packages). */
+trait StringArgs extends Expression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(c => c.dataType.isInstanceOf[StringType] || c.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string arguments, got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+}
+
+/** Catalyst expressions wrapping the pure graft.text kernel.
+  *
+  * Each expression is a thin, null-safe, single-row wrapper whose codegen
+  * emits one static call into the (JIT-friendly) graft.text objects —
+  * so they stay inside WholeStageCodegen spans instead of falling back to
+  * interpreted UDF dispatch. See SURVEY.md §4 item 1 for why these six
+  * are the only custom-kernel functions the engine needs.
+  */
+
+/** utf8proc-equivalent normalize + erase_fillers
+  * (reference: include/adr/normalize.h:28-71). String → String. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.text.Normalize.canonical(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.Normalize.canonical($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+  override def prettyName: String = "normalize_text"
+}
+
+/** Raw utf8proc-equivalent normalize (no filler erasure). */
+case class NormalizeRaw(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.text.Normalize.normalize(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.Normalize.normalize($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeRaw =
+    copy(child = newChild)
+  override def prettyName: String = "normalize_raw"
+}
+
+/** Distinct space-free byte trigrams of a normalized string, packed into
+  * 24-bit ints (reference: include/adr/ngram.h:46-54) — the blocking keys.
+  * String → Array[Int]. */
+case class TrigramKeys(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.text.Ngrams.trigramBlockingKeys(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.text.Ngrams.trigramBlockingKeys($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): TrigramKeys =
+    copy(child = newChild)
+  override def prettyName: String = "trigram_keys"
+}
+
+/** Distinct space-skipping byte bigrams packed into u16 ints (the
+  * reference's inverted-index keys, typeahead.cc:317-337 with the
+  * posting-list dedup of :331-336). String → Array[Int]. */
+case class BigramKeys(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val all = graft.text.Ngrams.bigrams(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(all.distinct.sorted)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ExprKernels.bigramKeysDistinct($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): BigramKeys =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_keys"
+}
+
+/** SIFT4 edit distance, maxOffset=3, banded at min(len)/2+2 — the
+  * reference's actual pair scorer (include/adr/sift4.h:17-119, call site
+  * score.h:75-79). (String, String) → Int. */
+case class Sift4Dist(left: Expression, right: Expression)
+    extends BinaryExpression with StringArgs {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.sift4(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.ExprKernels.sift4($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sift4Dist =
+    copy(left = l, right = r)
+  override def prettyName: String = "sift4"
+}
+
+/** Banded Levenshtein with the 255 overflow sentinel
+  * (include/adr/score.h:15-57). (String, String) → Int. */
+case class BoundedLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with StringArgs {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.text.EditDistances.boundedLevenshteinBytes(
+      l.asInstanceOf[UTF8String].getBytes, r.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.text.EditDistances.boundedLevenshteinBytes($l.getBytes(), $r.getBytes())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BoundedLevenshtein =
+    copy(left = l, right = r)
+  override def prettyName: String = "bounded_levenshtein"
+}
+
+/** Byte-based Jaro-Winkler similarity, DuckDB-compatible semantics
+  * (prefix boost over 0.7). (String, String) → Double. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with StringArgs {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.jaroWinkler(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.ExprKernels.jaroWinkler($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
+/** The reference's full phrase-vs-name match score
+  * (include/adr/score.h:162-269). Returns NULL where the reference
+  * returns kNoMatch. (rawName, normalizedPhrase) → Float. */
+case class RefMatchScore(left: Expression, right: Expression)
+    extends BinaryExpression with StringArgs {
+  override def dataType: DataType = FloatType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val s = graft.text.MatchScore.matchScore(
+      l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+    if (s == graft.text.MatchScore.NoMatch) null else s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      s"""
+         |float graft_ms = graft.text.MatchScore.matchScore($l.toString(), $r.toString());
+         |if (graft_ms == Float.MAX_VALUE) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft_ms;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RefMatchScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "ref_match_score"
+}
+
+/** Double Metaphone phonetic key (commons-codec) — the phonetic blocking
+  * key family from BASELINE.json north_star. String → String (may be
+  * empty for non-alphabetic input). */
+case class DoubleMetaphoneKey(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      ExprKernels.doubleMetaphone(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.ExprKernels.doubleMetaphone($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): DoubleMetaphoneKey =
+    copy(child = newChild)
+  override def prettyName: String = "double_metaphone"
+}
+
+/** Static kernels referenced from generated code (one static call each —
+  * keeps codegen tiny and JIT-inlineable). */
+object ExprKernels {
+  def sift4(l: UTF8String, r: UTF8String): Int = {
+    val lb = l.getBytes
+    val rb = r.getBytes
+    val maxDist = math.min(lb.length, rb.length) / 2 + 2
+    graft.text.Sift4.distBytes(lb, rb, 3, maxDist)
+  }
+
+  def jaroWinkler(l: UTF8String, r: UTF8String): Double =
+    graft.text.EditDistances.jaroBytesWinkler(l.getBytes, r.getBytes)
+
+  def bigramKeysDistinct(s: String): Array[Int] =
+    graft.text.Ngrams.bigrams(s).distinct.sorted
+
+  private val metaphone = {
+    val m = new org.apache.commons.codec.language.DoubleMetaphone
+    m.setMaxCodeLen(6)
+    m
+  }
+
+  def doubleMetaphone(s: String): String = {
+    val code = metaphone.doubleMetaphone(s)
+    if (code == null) "" else code
+  }
+}

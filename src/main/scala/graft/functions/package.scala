@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Bridge
+
+/** Column-API facade over the custom Catalyst expressions, mirroring
+  * `org.apache.spark.sql.functions`. Also registers SQL names so the
+  * same kernels are reachable from `spark.sql(...)`.
+  */
+package object functions {
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Bridge.column(e)
+  private def ex(c: Column) = Bridge.expression(c)
+
+  /** normalize (NFD+stripmark+casefold) + erase_fillers. */
+  def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+
+  /** normalize only (reference `normalize`, normalize.h:48-71). */
+  def normalize_raw(c: Column): Column = col(NormalizeRaw(ex(c)))
+
+  /** distinct space-free byte trigrams packed to 24-bit ints. */
+  def trigram_keys(c: Column): Column = col(TrigramKeys(ex(c)))
+
+  /** distinct space-skipping byte bigrams packed to u16 ints. */
+  def bigram_keys(c: Column): Column = col(BigramKeys(ex(c)))
+
+  /** SIFT4 distance, maxOffset=3, band min(len)/2+2 (score.h:75-79). */
+  def sift4(l: Column, r: Column): Column = col(Sift4Dist(ex(l), ex(r)))
+
+  /** banded Levenshtein, 255 sentinel on overflow (score.h:15-57). */
+  def bounded_levenshtein(l: Column, r: Column): Column =
+    col(BoundedLevenshtein(ex(l), ex(r)))
+
+  /** byte-based Jaro-Winkler, DuckDB-compatible. */
+  def jaro_winkler(l: Column, r: Column): Column = col(JaroWinkler(ex(l), ex(r)))
+
+  /** reference get_match_score; NULL = kNoMatch (score.h:162-269). */
+  def ref_match_score(rawName: Column, normPhrase: Column): Column =
+    col(RefMatchScore(ex(rawName), ex(normPhrase)))
+
+  /** Double Metaphone phonetic key. */
+  def double_metaphone(c: Column): Column = col(DoubleMetaphoneKey(ex(c)))
+
+  /** Register all kernels under SQL names (idempotent, session-scoped). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("normalize_text", es => NormalizeText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_raw", es => NormalizeRaw(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("trigram_keys", es => TrigramKeys(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_keys", es => BigramKeys(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sift4", es => Sift4Dist(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bounded_levenshtein", es => BoundedLevenshtein(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ref_match_score", es => RefMatchScore(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("double_metaphone", es => DoubleMetaphoneKey(es.head), "scala_udf")
+  }
+}

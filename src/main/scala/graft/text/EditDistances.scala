@@ -120,9 +120,10 @@ object EditDistances {
 
   /** Jaro-Winkler similarity: prefix boost (≤4 common leading bytes,
     * scale 0.1) applied when jaro > 0.7 — matches DuckDB 1.x semantics. */
-  def jaroWinkler(a: String, b: String): Double = {
-    val s = a.getBytes(StandardCharsets.UTF_8)
-    val t = b.getBytes(StandardCharsets.UTF_8)
+  def jaroWinkler(a: String, b: String): Double =
+    jaroBytesWinkler(a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  def jaroBytesWinkler(s: Array[Byte], t: Array[Byte]): Double = {
     val j = jaroBytes(s, t)
     if (j <= 0.7) return j
     var prefix = 0

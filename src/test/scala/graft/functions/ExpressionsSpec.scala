@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.{functions => gf}
+
+  private val samples = Seq(
+    "Landwehrstraße", "Groß-Umstadt An der Pfalz", "Индже войвода",
+    "hauptbahnhof darmstadt", "", "a", "ab", "x  y,,z", "STRAẞE 12/3",
+    "ж.к. П. Р. Славейков", "bl. 26", null)
+
+  test("expressions match pure functions row-by-row (interpreted + codegen)") {
+    import spark.implicits._
+    val df = samples.toDF("s")
+    val got = df.select(
+      $"s",
+      gf.normalize_text($"s").as("canon"),
+      gf.normalize_raw($"s").as("norm"),
+      gf.trigram_keys(gf.normalize_text($"s")).as("tris"),
+      gf.bigram_keys(gf.normalize_raw($"s")).as("bis"),
+      gf.double_metaphone($"s").as("dm")
+    ).collect()
+    got.foreach { row =>
+      val s = row.getString(0)
+      if (s == null) {
+        assert(row.isNullAt(1) && row.isNullAt(2))
+      } else {
+        assert(row.getString(1) == graft.text.Normalize.canonical(s))
+        assert(row.getString(2) == graft.text.Normalize.normalize(s))
+        assert(row.getSeq[Int](3) ==
+          graft.text.Ngrams.trigramBlockingKeys(graft.text.Normalize.canonical(s)).toSeq)
+        assert(row.getSeq[Int](4) ==
+          graft.text.Ngrams.bigrams(graft.text.Normalize.normalize(s)).distinct.sorted.toSeq)
+      }
+    }
+  }
+
+  test("binary scorers match pure functions") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("darmstadt", "damrstadt"), ("landwehrstrasse", "landwerhstrase"),
+      ("abc", "xyz"), ("", ""), ("a", ""), ("индже", "инже"),
+      ("hauptbahnhof", "hbf"))
+    val df = pairs.toDF("a", "b")
+    val got = df.select($"a", $"b",
+      gf.sift4($"a", $"b").as("s4"),
+      gf.bounded_levenshtein($"a", $"b").as("bl"),
+      gf.jaro_winkler($"a", $"b").as("jw")).collect()
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val maxDist = math.min(a.getBytes("UTF-8").length, b.getBytes("UTF-8").length) / 2 + 2
+      assert(r.getInt(2) == graft.text.Sift4.dist(a, b, 3, maxDist))
+      assert(r.getInt(3) == graft.text.EditDistances.boundedLevenshtein(a, b))
+      assert(r.getDouble(4) == graft.text.EditDistances.jaroWinkler(a, b))
+    }
+  }
+
+  test("ref_match_score: NULL encodes kNoMatch") {
+    import spark.implicits._
+    val df = Seq(
+      ("Darmstadt", "darmstadt"),
+      ("Darmstadt,ZOB Zweifalltorweg", "darmstadt"),
+      ("Bas-Rhin", "zappendorf")).toDF("name", "phrase")
+    val rows = df.select(gf.ref_match_score($"name", $"phrase")).collect()
+    assert(!rows(0).isNullAt(0))
+    assert(!rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("SQL registration works") {
+    gf.registerAll(spark)
+    val r = spark.sql(
+      "SELECT normalize_text('Landwehrstraße') AS n, sift4('abc','acb') AS d").collect()(0)
+    assert(r.getString(0) == "landwehrstrasse")
+    assert(r.getInt(1) == 1)
+  }
+
+  test("property: expression == pure function on random unicode strings") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60,
+      Gen.frequency(
+        8 -> Gen.alphaNumChar,
+        3 -> Gen.oneOf(' ', ',', '-', '.', '(', ')'),
+        2 -> Gen.oneOf('ß', 'ä', 'Ö', 'é', 'и', 'н', '水'))
+    ).map(_.mkString)
+    val strings = (1 to 60).flatMap(i => gen.sample)
+    val df = strings.toDF("s")
+    val got = df.select($"s", gf.normalize_text($"s").as("c")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == graft.text.Normalize.canonical(r.getString(0)))
+    }
+  }
+
+  test("codegen: expressions run inside WholeStageCodegen") {
+    import spark.implicits._
+    val df = spark.range(100)
+      .select(concat(lit("Straße "), $"id").as("a"), concat($"id", lit(" weg")).as("b"))
+      .select(gf.jaro_winkler(gf.normalize_text($"a"), gf.normalize_text($"b")).as("jw"),
+        gf.sift4($"a", $"b").as("s4"), gf.trigram_keys($"a").as("t"))
+    val hasCodegenStage = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegenStage, df.queryExecution.executedPlan.toString)
+    // and it actually executes through the generated code
+    assert(df.count() == 100)
+  }
+}
