@@ -1,0 +1,399 @@
+package graft.er
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.{functions => gf}
+
+/** The web-scale entity-resolution pipeline (BASELINE.json north_rule):
+  * pages → mentions → string interning → blocking → pairwise scoring →
+  * transitive clustering.
+  *
+  * Spark-first reimagination of the reference's matcher:
+  * - extraction ↔ OSM name-tag extraction (typeahead.cc:49-77)
+  * - string interning ↔ get_or_create_string / D1 (typeahead.cc:300-306):
+  *   all blocking + scoring runs over *distinct* canonical strings, so a
+  *   Zipf-hot surface form costs one row, not one per occurrence — this is
+  *   the single most important 10^12-scale lever (the reference's index is
+  *   likewise built over interned strings only)
+  * - trigram blocking + count/cosine candidate filter ↔ inverted bigram
+  *   index + guess() (typeahead.cc:317-337, 372-439)
+  * - pair scoring ↔ get_match_score/sift4 (score.h), here symmetric
+  *   Jaro-Winkler + banded Levenshtein on canonical match keys
+  * - transitive clustering ↔ duplicate marking + hash-consing
+  *   (get_suggestions.cc:703-731, typeahead.cc:308-315), generalized to
+  *   connected components over the string-match graph plus
+  *   mention→string membership edges
+  *
+  * Scale design: all shuffles after interning are on fixed-width keys
+  * (Int trigrams, Long ids); hot blocking keys are capped with the dropped
+  * volume logged (the reference's kMaxMatches=6000 analogue,
+  * typeahead.cc:428); clustering checkpoints each iteration to parquet
+  * with per-partition metrics for lineage-free resumability.
+  */
+object Pipeline {
+
+  final case class Config(
+      seed: Long = 42L,
+      nPages: Long = 2000L,
+      nEntities: Int = 300,
+      // blocking
+      maxBlockSize: Int = 256,
+      // scoring accept rule (tuned on the synthetic corpus via TuneMain;
+      // precision-first: one bad edge merges two whole clusters)
+      jwThreshold: Double = 0.94,
+      levMaxPerBytes: Double = 1.0 / 12.0, // allowed edits per byte of min length
+      // clustering
+      maxIterations: Int = 20,
+      workDir: String = "/tmp/graft_er",
+      resume: Boolean = false)
+
+  final case class BlockingStats(
+      totalKeys: Long, keptKeys: Long, hotKeysDropped: Long,
+      hotVolumeDropped: Long, candidatePairs: Long)
+
+  // ---------------------------------------------------------------- extract
+
+  /** pages → mentions. Extraction is structural (lines prefixed "loc: ")
+    * and built only from deterministic expressions — byte-identical output
+    * per url under any partitioning (input_hint invariant). mention_id =
+    * xxhash64(url, seq): deterministic and partition-independent (a
+    * content-derived surrogate key; collision odds at 10^12 rows ≈ 2.7%
+    * for a *single* colliding pair globally — bounded impact, documented
+    * tradeoff vs a global row_number sort).
+    */
+  def extractMentions(pages: DataFrame): DataFrame = {
+    pages
+      .select(
+        col("url"),
+        col("lang"),
+        posexplode(
+          filter(split(col("text"), "\n"), l => l.startsWith("loc: ")))
+          .as(Seq("seq", "line")))
+      .select(
+        col("url"),
+        col("lang"),
+        col("seq"),
+        expr("substring(line, 6)").as("raw"))
+      .withColumn("mention_id", xxhash64(col("url"), col("seq")))
+      .withColumn("norm", gf.normalize_text(col("raw")))
+      .withColumn("match_key", gf.match_key(col("raw")))
+      .filter(length(col("match_key")) >= 2) // F5: min length gate
+  }
+
+  // ---------------------------------------------------------------- intern
+
+  /** String interning (reference D1): one row per distinct canonical match
+    * key. string_id = min(mention_id) of the group — deterministic and
+    * partition-invariant. Returns (strings, membership):
+    * strings(string_id, match_key, freq); membership(mention_id, string_id).
+    */
+  def internStrings(mentions: DataFrame): (DataFrame, DataFrame) = {
+    val strings = mentions
+      .groupBy(col("match_key"))
+      .agg(min(col("mention_id")).as("string_id"), count(lit(1)).as("freq"))
+    val membership = mentions.select(col("mention_id"), col("match_key"))
+      .join(strings.select(col("match_key"), col("string_id")), Seq("match_key"))
+      .select(col("mention_id"), col("string_id"))
+    (strings, membership)
+  }
+
+  // ---------------------------------------------------------------- blocking
+
+  /** distinct strings → candidate string pairs (src < dst), using the
+    * reference's count + cosine candidate filters (typeahead.cc:409-423).
+    *
+    * Shape: explode trigram keys → key-frequency stats → drop singleton
+    * and over-hot keys (logged — they carry no discriminative signal;
+    * every non-stopword name substring still blocks) → per-key member
+    * lists bounded by maxBlockSize → map-side pair expansion → per-pair
+    * shared-key count (one shuffle on the pair) → count/cosine filter.
+    * Double-Metaphone phonetic keys union in (skipping the cosine filter).
+    */
+  def candidatePairs(strings: DataFrame, cfg: Config): (DataFrame, BlockingStats) = {
+    val spark = strings.sparkSession
+    import spark.implicits._
+
+    val m = strings
+      .select($"string_id", $"match_key", gf.trigram_keys($"match_key").as("tris"))
+      .withColumn("n_grams", size($"tris"))
+
+    val keyed = m.select($"string_id", $"n_grams", explode($"tris").as("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = keyed.groupBy($"key").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val totalKeys = freq.count()
+    val hotAgg = freq.filter($"cnt" > cfg.maxBlockSize)
+      .agg(count(lit(1)).as("k"), coalesce(sum($"cnt"), lit(0L)).as("v"))
+      .collect()(0)
+    val kept = freq.filter($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize)
+
+    val blocks = keyed
+      .join(kept.select($"key"), Seq("key")) // drops singleton + hot keys
+      .groupBy($"key")
+      .agg(collect_list(struct($"string_id", $"n_grams")).as("members"))
+
+    // map-side pair expansion: bounded by maxBlockSize² per key
+    val rawPairs = blocks
+      .select(explode($"members").as("a"), $"members")
+      .select($"a", explode($"members").as("b"))
+      .filter($"a.string_id" < $"b.string_id")
+      .select(
+        $"a.string_id".as("src"), $"b.string_id".as("dst"),
+        $"a.n_grams".as("src_n"), $"b.n_grams".as("dst_n"))
+
+    // shared distinct-trigram count per pair (A2), then A3 filters:
+    // shared >= min_match_count(min side) and shared² >= 0.17·nA·nB
+    val counted = rawPairs
+      .groupBy($"src", $"dst", $"src_n", $"dst_n")
+      .agg(count(lit(1)).as("shared"))
+    val minN = least($"src_n", $"dst_n").cast("int")
+    val mmc = lit(2) + minN / (lit(4) + minN / lit(10))
+    val trigramPairs = counted
+      .filter($"shared" >= mmc.cast("long") &&
+        ($"shared" * $"shared").cast("double") >=
+          lit(graft.text.Ngrams.CosSimCutoff.toDouble) * $"src_n" * $"dst_n")
+      .select($"src", $"dst")
+
+    // phonetic blocking: per-token Double Metaphone codes (len >= 3);
+    // the scorer does the precision work on these coarse keys.
+    val phonKeyed = strings
+      .select($"string_id",
+        explode(array_distinct(transform(
+          split($"match_key", " "),
+          t => gf.double_metaphone(t)))).as("pkey"))
+      .filter(length($"pkey") >= 3)
+    val phonFreq = phonKeyed.groupBy($"pkey").agg(count(lit(1)).as("cnt"))
+    val phonBlocks = phonKeyed
+      .join(phonFreq.filter($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize).select($"pkey"), Seq("pkey"))
+      .groupBy($"pkey").agg(collect_list($"string_id").as("ids"))
+    val phonPairs = phonBlocks
+      .select(explode($"ids").as("src"), $"ids")
+      .select($"src", explode($"ids").as("dst"))
+      .filter($"src" < $"dst")
+      .select($"src", $"dst")
+
+    val pairs = trigramPairs.unionByName(phonPairs).dropDuplicates("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    keyed.unpersist()
+    freq.unpersist()
+
+    val stats = BlockingStats(
+      totalKeys = totalKeys,
+      keptKeys = totalKeys - hotAgg.getLong(0),
+      hotKeysDropped = hotAgg.getLong(0),
+      hotVolumeDropped = hotAgg.getLong(1),
+      candidatePairs = nPairs)
+    (pairs, stats)
+  }
+
+  // ---------------------------------------------------------------- scoring
+
+  /** candidate string pairs → scored pairs with the accept decision.
+    * Scores: Jaro-Winkler + banded Levenshtein + SIFT4 on the canonical
+    * match keys (all codegen'd Catalyst expressions — no UDF dispatch).
+    * Accept: jw ≥ θ OR lev ≤ max(1, ⌈levMaxPerBytes · min byte length⌉)
+    * (lev==255 is the overflow sentinel and never accepts). */
+  def scorePairs(pairs: DataFrame, strings: DataFrame, cfg: Config): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val keys = strings.select($"string_id", $"match_key")
+    val withA = pairs
+      .join(keys.withColumnRenamed("string_id", "src").withColumnRenamed("match_key", "src_key"), Seq("src"))
+    val withB = withA
+      .join(keys.withColumnRenamed("string_id", "dst").withColumnRenamed("match_key", "dst_key"), Seq("dst"))
+    withB
+      .withColumn("jw", gf.jaro_winkler($"src_key", $"dst_key"))
+      .withColumn("lev", gf.bounded_levenshtein($"src_key", $"dst_key"))
+      .withColumn("sift", gf.sift4($"src_key", $"dst_key"))
+      .withColumn("min_len", least(length($"src_key"), length($"dst_key")))
+      .withColumn("lev_max", greatest(lit(1), ceil($"min_len" * cfg.levMaxPerBytes)).cast("int"))
+      .withColumn("accepted",
+        $"jw" >= cfg.jwThreshold ||
+          ($"lev" =!= graft.text.EditDistances.Overflow && $"lev" <= $"lev_max"))
+      .select($"src", $"dst", $"jw", $"lev", $"sift", $"min_len", $"accepted")
+  }
+
+  // ---------------------------------------------------------------- clustering
+
+  final case class IterationMetrics(
+      iteration: Int, labelChanges: Long, rows: Long, partitions: Int)
+
+  /** Transitive closure over edges: iterative min-label propagation to
+    * fixpoint (the DataFrame union-find of SURVEY.md §4 item 3). Each
+    * iteration writes `labels_iter_k` parquet plus per-partition metrics
+    * under cfg.workDir — lineage is cut every iteration and the loop can
+    * resume from the latest checkpoint after a crash (cfg.resume).
+    *
+    * label := min(id) reachable — deterministic, partition-count invariant.
+    */
+  def cluster(
+      vertices: DataFrame, // (id)
+      edges: DataFrame, // (src, dst)
+      cfg: Config): (DataFrame, Vector[IterationMetrics]) = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val fs = new java.io.File(cfg.workDir)
+    fs.mkdirs()
+
+    val und = edges.select($"src".as("a"), $"dst".as("b"))
+      .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def labelPath(i: Int) = s"${cfg.workDir}/labels_iter_$i"
+
+    val startIter =
+      if (cfg.resume) {
+        val done = Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
+          .map(_.getName)
+          .filter(n => n.startsWith("labels_iter_") && !n.endsWith("_init"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("labels_iter_").toInt).toOption)
+        if (done.isEmpty) 0 else done.max + 1
+      } else 0
+
+    var labels =
+      if (startIter > 0) spark.read.parquet(labelPath(startIter - 1))
+        .select($"id", $"label")
+      else {
+        val init = vertices.select(col(vertices.columns.head).as("id"))
+          .withColumn("label", $"id")
+        init.write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/labels_init")
+        spark.read.parquet(s"${cfg.workDir}/labels_init")
+      }
+
+    val metrics = Vector.newBuilder[IterationMetrics]
+    var iter = startIter
+    var converged = false
+    while (!converged && iter < cfg.maxIterations) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "b_label"), Seq("b"))
+        .groupBy($"a".as("id"))
+        .agg(min($"b_label").as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select($"id",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"),
+          ($"nbr_label".isNotNull && $"nbr_label" < $"label").as("changed"))
+
+      next.write.mode(SaveMode.Overwrite).parquet(labelPath(iter)) // checkpoint: cuts lineage
+      val checked = spark.read.parquet(labelPath(iter))
+      val agg = checked.agg(
+        coalesce(sum(when($"changed", 1L).otherwise(0L)), lit(0L)).as("chg"),
+        count(lit(1)).as("rows")).collect()(0)
+      val changes = agg.getLong(0)
+      val rows = agg.getLong(1)
+      val parts = checked.rdd.getNumPartitions
+      metrics += IterationMetrics(iter, changes, rows, parts)
+      // per-partition lineage metrics for resumability audits
+      checked.groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"),
+          sum(when($"changed", 1L).otherwise(0L)).as("changed"))
+        .withColumn("iteration", lit(iter))
+        .write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/label_metrics_iter_$iter")
+
+      labels = checked.select($"id", $"label")
+      converged = changes == 0L
+      iter += 1
+    }
+    und.unpersist()
+    (labels, metrics.result())
+  }
+
+  // ---------------------------------------------------------------- eval
+
+  final case class EvalResult(
+      tp: Long, fp: Long, fn: Long,
+      precision: Double, recall: Double, f1: Double,
+      labeledPairs: Long)
+
+  /** Mention-level labeled-pair universe: pairs whose interned strings
+    * share a kept blocking key (the candidate string pairs expanded through
+    * membership) plus same-string mention pairs. Evaluation-only expansion;
+    * at production scale this would be sampled. */
+  def labeledPairUniverse(stringPairs: DataFrame, membership: DataFrame): DataFrame = {
+    val spark = stringPairs.sparkSession
+    import spark.implicits._
+    val crossString = stringPairs
+      .join(membership.withColumnRenamed("string_id", "src").withColumnRenamed("mention_id", "m_src"), Seq("src"))
+      .join(membership.withColumnRenamed("string_id", "dst").withColumnRenamed("mention_id", "m_dst"), Seq("dst"))
+      .select(least($"m_src", $"m_dst").as("src"), greatest($"m_src", $"m_dst").as("dst"))
+    val sameString = membership.as("a")
+      .join(membership.as("b"), $"a.string_id" === $"b.string_id" && $"a.mention_id" < $"b.mention_id")
+      .select($"a.mention_id".as("src"), $"b.mention_id".as("dst"))
+    crossString.unionByName(sameString).dropDuplicates("src", "dst")
+  }
+
+  /** Pairwise F1 over labeled pairs sharing a blocking key (BASELINE
+    * metric). `universe` = mention-level labeled pairs, `truth` maps
+    * mention_id → entity_id, `labels` maps mention_id → cluster label. */
+  def evaluate(universe: DataFrame, truth: DataFrame, labels: DataFrame): EvalResult = {
+    val spark = universe.sparkSession
+    import spark.implicits._
+    val t = truth.select($"mention_id", $"entity_id")
+    val l = labels.select($"id".as("mention_id"), $"label")
+    val joined = universe
+      .join(t.withColumnRenamed("mention_id", "src").withColumnRenamed("entity_id", "src_e"), Seq("src"))
+      .join(t.withColumnRenamed("mention_id", "dst").withColumnRenamed("entity_id", "dst_e"), Seq("dst"))
+      .join(l.withColumnRenamed("mention_id", "src").withColumnRenamed("label", "src_l"), Seq("src"))
+      .join(l.withColumnRenamed("mention_id", "dst").withColumnRenamed("label", "dst_l"), Seq("dst"))
+      .select(
+        ($"src_e" === $"dst_e").as("is_match"),
+        ($"src_l" === $"dst_l").as("predicted"))
+    val agg = joined.agg(
+      coalesce(sum(when($"is_match" && $"predicted", 1L).otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(!$"is_match" && $"predicted", 1L).otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when($"is_match" && !$"predicted", 1L).otherwise(0L)), lit(0L)).as("fn"),
+      count(lit(1)).as("n")).collect()(0)
+    val (tp, fp, fn, n) = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+    val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    EvalResult(tp, fp, fn, p, r, f1, n)
+  }
+
+  // ---------------------------------------------------------------- e2e
+
+  final case class RunResult(
+      mentions: Long, distinctStrings: Long, stats: BlockingStats,
+      acceptedPairs: Long, clusters: Long, iterations: Int, eval: EvalResult)
+
+  /** Full pipeline on the synthetic corpus; returns summary + leaves
+    * checkpoint tables under cfg.workDir. */
+  def run(spark: SparkSession, cfg: Config): RunResult = {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
+    val mentions = extractMentions(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    val nMentions = mentions.count()
+
+    val (strings0, membership0) = internStrings(mentions)
+    val strings = strings0.persist(StorageLevel.MEMORY_AND_DISK)
+    val membership = membership0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nStrings = strings.count()
+
+    val (pairs, stats) = candidatePairs(strings, cfg)
+    val scored = scorePairs(pairs, strings, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val accepted = scored.filter($"accepted").select($"src", $"dst")
+
+    // edges = accepted string pairs + mention→string membership edges
+    val membershipEdges = membership
+      .filter($"mention_id" =!= $"string_id")
+      .select($"string_id".as("src"), $"mention_id".as("dst"))
+    val edges = accepted.unionByName(membershipEdges)
+    val nAccepted = accepted.count()
+
+    val (labels, metrics) = cluster(mentions.select($"mention_id"), edges, cfg)
+
+    val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
+      .withColumn("mention_id", xxhash64($"url", $"seq"))
+    val universe = labeledPairUniverse(pairs, membership)
+    val eval = evaluate(universe, truth, labels)
+
+    val nClusters = labels.select($"label").distinct().count()
+    mentions.unpersist(); scored.unpersist(); pairs.unpersist()
+    strings.unpersist(); membership.unpersist()
+    RunResult(nMentions, nStrings, stats, nAccepted, nClusters, metrics.size, eval)
+  }
+}

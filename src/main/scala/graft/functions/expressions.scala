@@ -215,3 +215,20 @@ object ExprKernels {
     if (code == null) "" else code
   }
 }
+
+/** Canonical match key: normalize + erase_fillers + synonym/postfix alt
+  * expansion to the long form (graft.text.MatchKeys). String → String. */
+case class MatchKey(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.text.MatchKeys.matchKey(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.MatchKeys.matchKey($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): MatchKey =
+    copy(child = newChild)
+  override def prettyName: String = "match_key"
+}

@@ -41,6 +41,9 @@ package object functions {
   /** Double Metaphone phonetic key. */
   def double_metaphone(c: Column): Column = col(DoubleMetaphoneKey(ex(c)))
 
+  /** canonical match key (normalize + alt expansion, graft.text.MatchKeys). */
+  def match_key(c: Column): Column = col(MatchKey(ex(c)))
+
   /** Register all kernels under SQL names (idempotent, session-scoped). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -53,5 +56,6 @@ package object functions {
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("ref_match_score", es => RefMatchScore(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("double_metaphone", es => DoubleMetaphoneKey(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("match_key", es => MatchKey(es.head), "scala_udf")
   }
 }

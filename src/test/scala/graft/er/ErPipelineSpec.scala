@@ -1,0 +1,112 @@
+package graft.er
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+/** End-to-end pipeline gates from BASELINE.json:
+  * - pairwise F1 ≥ 0.99 on labeled pairs sharing a blocking key
+  * - partition-count invariance (the sandbox proxy for N-vs-4N identical
+  *   output clusters)
+  * - resumability from checkpoint
+  * plus blocking recall and extraction determinism.
+  */
+class ErPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_test_$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  test("pairwise F1 >= 0.99 on labeled same-blocking-key pairs (seed 42)") {
+    val cfg = Pipeline.Config(seed = 42L, nPages = 800, nEntities = 150,
+      workDir = freshDir("f1_s42"))
+    val res = Pipeline.run(spark, cfg)
+    assert(res.eval.f1 >= 0.99, s"F1 gate failed: $res")
+    assert(res.eval.precision >= 0.99, s"precision: ${res.eval}")
+    assert(res.eval.recall >= 0.99, s"recall: ${res.eval}")
+  }
+
+  test("pairwise F1 >= 0.99 holds on a different seed") {
+    val cfg = Pipeline.Config(seed = 7L, nPages = 800, nEntities = 150,
+      workDir = freshDir("f1_s7"))
+    val res = Pipeline.run(spark, cfg)
+    assert(res.eval.f1 >= 0.99, s"F1 gate failed on seed 7: $res")
+  }
+
+  test("extraction is byte-identical per url regardless of partitioning") {
+    val pages1 = Corpus.pages(spark, 200, 50, 42L).toDF().repartition(1)
+    val pages2 = Corpus.pages(spark, 200, 50, 42L).toDF().repartition(17)
+    val m1 = Pipeline.extractMentions(pages1).select($"url", $"seq", $"raw", $"norm")
+    val m2 = Pipeline.extractMentions(pages2).select($"url", $"seq", $"raw", $"norm")
+    assert(m1.count() == m2.count())
+    assert(m1.exceptAll(m2).isEmpty && m2.exceptAll(m1).isEmpty)
+  }
+
+  test("identical clusters at different parallelism (N vs 4N proxy)") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val r1 = Pipeline.run(spark, Pipeline.Config(seed = 11L, nPages = 400,
+        nEntities = 80, workDir = freshDir("inv2")))
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val r2 = Pipeline.run(spark, Pipeline.Config(seed = 11L, nPages = 400,
+        nEntities = 80, workDir = freshDir("inv8")))
+      val l1 = spark.read.parquet(s"/tmp/graft_test_inv2/labels_iter_${r1.iterations - 1}")
+        .select($"id", $"label")
+      val l2 = spark.read.parquet(s"/tmp/graft_test_inv8/labels_iter_${r2.iterations - 1}")
+        .select($"id", $"label")
+      assert(l1.exceptAll(l2).isEmpty && l2.exceptAll(l1).isEmpty,
+        "cluster labels differ across parallelism levels")
+      assert(r1.eval.f1 == r2.eval.f1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("clustering resumes from checkpoint to the same fixpoint") {
+    val dirFull = freshDir("resume_full")
+    val dirPart = freshDir("resume_part")
+    val cfgBase = Pipeline.Config(seed = 5L, nPages = 300, nEntities = 60)
+
+    val pages = Corpus.pages(spark, cfgBase.nPages, cfgBase.nEntities, cfgBase.seed).toDF()
+    val mentions = Pipeline.extractMentions(pages).cache()
+    val (strings, membership) = Pipeline.internStrings(mentions)
+    val (pairs, _) = Pipeline.candidatePairs(strings, cfgBase)
+    val accepted = Pipeline.scorePairs(pairs, strings, cfgBase)
+      .filter($"accepted").select($"src", $"dst")
+    val edges = accepted.unionByName(
+      membership.filter($"mention_id" =!= $"string_id")
+        .select($"string_id".as("src"), $"mention_id".as("dst"))).cache()
+    val vertices = mentions.select($"mention_id")
+
+    // full run
+    val (labelsFull, mFull) = Pipeline.cluster(vertices, edges,
+      cfgBase.copy(workDir = dirFull))
+    // interrupted run: stop after 1 iteration...
+    val (_, mPart) = Pipeline.cluster(vertices, edges,
+      cfgBase.copy(workDir = dirPart, maxIterations = 1))
+    assert(mPart.size == 1)
+    // ...then resume from checkpoint
+    val (labelsResumed, mResumed) = Pipeline.cluster(vertices, edges,
+      cfgBase.copy(workDir = dirPart, resume = true))
+    assert(mResumed.head.iteration == 1, "resume must continue at iteration 1")
+    assert(labelsFull.exceptAll(labelsResumed).isEmpty &&
+      labelsResumed.exceptAll(labelsFull).isEmpty,
+      "resumed labels differ from uninterrupted run")
+    assert(mFull.size == mPart.size + mResumed.size)
+  }
+
+  test("blocking stats are reported (no silent caps)") {
+    val cfg = Pipeline.Config(seed = 42L, nPages = 400, nEntities = 80,
+      workDir = freshDir("stats"))
+    val pages = Corpus.pages(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
+    val mentions = Pipeline.extractMentions(pages)
+    val (strings, _) = Pipeline.internStrings(mentions)
+    val (pairs, stats) = Pipeline.candidatePairs(strings, cfg)
+    assert(stats.candidatePairs == pairs.count())
+    assert(stats.totalKeys > 0)
+    assert(stats.keptKeys + stats.hotKeysDropped == stats.totalKeys)
+  }
+}
