@@ -1,24 +1,62 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR plus the ER-pipeline throughput probe, printing ONE
+  * JSON line. Scaling evidence between two parallelism levels (the
+  * sandbox N-vs-4N proxy) is produced by graft.er.ScalingBench.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  private def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+
+    // warm the JVM/codegen once on the tiny sf so timings measure the
+    // engine, not first-call JIT + planner warmup
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ER pipeline throughput probe at this parallelism
+    val erT0 = System.nanoTime()
+    val cfg = er.Pipeline.Config(
+      nPages = sys.env.getOrElse("SPARK_GRAFT_ER_PAGES", "20000").toLong,
+      nEntities = 2000,
+      workDir = "/tmp/graft_bench_er")
+    val er1 = er.Pipeline.run(spark, cfg)
+    val erSec = (System.nanoTime() - erT0) / 1e9
+    val pairsPerSec = er1.stats.candidatePairs / erSec
+    val pagesPerSec = cfg.nPages / erSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + erSec
+    val erJson = f"""{"pages":${cfg.nPages},"mentions":${er1.mentions},""" +
+      f""""candidate_pairs":${er1.stats.candidatePairs},"seconds":$erSec%.3f,""" +
+      f""""pairs_per_sec":$pairsPerSec%.0f,"pages_per_sec":$pagesPerSec%.0f,""" +
+      f""""f1":${er1.eval.f1}%.5f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","er_pipeline":$erJson}""")
     spark.stop()
   }
 }

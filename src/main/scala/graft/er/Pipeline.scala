@@ -149,7 +149,7 @@ object Pipeline {
       .groupBy($"src", $"dst", $"src_n", $"dst_n")
       .agg(count(lit(1)).as("shared"))
     val minN = least($"src_n", $"dst_n").cast("int")
-    val mmc = lit(2) + minN / (lit(4) + minN / lit(10))
+    val mmc = lit(2) + floor(minN / (lit(4) + floor(minN / lit(10))))
     val trigramPairs = counted
       .filter($"shared" >= mmc.cast("long") &&
         ($"shared" * $"shared").cast("double") >=

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{functions => gf}
+
+/** Connected components as a standalone operator (the union-find /
+  * transitive-closure analogue of the reference's duplicate merging,
+  * generalized per north_rule). The in-query variant uses localCheckpoint
+  * to cut lineage each iteration; the checkpoint-to-parquet variant for
+  * resumable production runs lives in graft.er.Pipeline.cluster.
+  */
+object Components {
+  import Tables.load
+
+  /** Min-label propagation to fixpoint. vertices: (id); edges: (src, dst). */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist()
+    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "b_label"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("b_label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label")).localCheckpoint(true)
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Entity clusters over distinct part names: intern (D2 street-interning
+    * analogue) → trigram blocking (A2/A3 filters) → JW ≥ 0.9 edges →
+    * connected components; label = min reachable name_id. */
+  def q33Components(spark: SparkSession, dir: String): DataFrame = {
+    val interned = load(spark, dir, "part")
+      .select(gf.normalize_text(col("p_name")).as("name"), col("p_partkey"))
+      .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id"))
+    val withTris = interned
+      .withColumn("tris", TextOps.trigramStrings(col("name")))
+      .withColumn("n", size(col("tris")))
+    val keyed = withTris.select(col("name_id"), col("n"), explode(col("tris")).as("gram"))
+    val counted = keyed.as("a").join(keyed.as("b"),
+        col("a.gram") === col("b.gram") && col("a.name_id") < col("b.name_id"))
+      .groupBy(col("a.name_id").as("src"), col("b.name_id").as("dst"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("shared"))
+    val minN = least(col("n1"), col("n2")).cast("int")
+    val mmc = lit(2) + floor(minN / (lit(4) + floor(minN / lit(10))))
+    val cand = counted.filter(col("shared") >= mmc.cast("long") &&
+      (col("shared") * col("shared")).cast("double") >= lit(0.17) * col("n1") * col("n2"))
+    val kv = interned.select(col("name_id"), col("name"))
+    val edges = cand
+      .join(kv.withColumnRenamed("name_id", "src").withColumnRenamed("name", "name_src"), Seq("src"))
+      .join(kv.withColumnRenamed("name_id", "dst").withColumnRenamed("name", "name_dst"), Seq("dst"))
+      .filter(gf.jaro_winkler(col("name_src"), col("name_dst")) >= 0.9)
+      .select(col("src"), col("dst"))
+    connectedComponents(interned.select(col("name_id").as("id")), edges)
+      .select(col("id").as("name_id"), col("label"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q33_components" ->
+      """WITH RECURSIVE interned AS (
+        |  SELECT lower(p_name) AS name, CAST(min(p_partkey) AS BIGINT) AS name_id
+        |  FROM part GROUP BY 1),
+        |g AS (
+        |  SELECT DISTINCT t.name_id, substr(t.name, i.i, 3) AS gram
+        |  FROM interned t, LATERAL (SELECT unnest(generate_series(1, len(t.name) - 2)) AS i) i
+        |  WHERE len(t.name) >= 3 AND substr(t.name, i.i, 3) NOT LIKE '% %'),
+        |n AS (SELECT name_id, count(*) AS n FROM g GROUP BY 1),
+        |counted AS (
+        |  SELECT a.name_id AS src, b.name_id AS dst, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.name_id < b.name_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT src, dst FROM counted
+        |  JOIN n n1 ON n1.name_id = src JOIN n n2 ON n2.name_id = dst
+        |  WHERE shared >= 2 + floor(least(n1.n, n2.n) / (4 + floor(least(n1.n, n2.n) / 10)))
+        |    AND CAST(shared * shared AS DOUBLE) >= 0.17 * n1.n * n2.n),
+        |edges AS (
+        |  SELECT src, dst FROM cand
+        |  JOIN interned sa ON sa.name_id = src JOIN interned sb ON sb.name_id = dst
+        |  WHERE jaro_winkler_similarity(sa.name, sb.name) >= 0.9),
+        |undirected AS (
+        |  SELECT src AS a, dst AS b FROM edges
+        |  UNION ALL SELECT dst AS a, src AS b FROM edges),
+        |reach(id, lab) AS (
+        |  SELECT name_id, name_id FROM interned
+        |  UNION
+        |  SELECT u.b, r.lab FROM reach r JOIN undirected u ON u.a = r.id)
+        |SELECT id AS name_id, CAST(min(lab) AS BIGINT) AS label
+        |FROM reach GROUP BY 1""".stripMargin
+  )
+}

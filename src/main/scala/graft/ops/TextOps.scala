@@ -1,0 +1,289 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{functions => gf}
+
+/** Reference text-operator queries over the `documents`/`part` tables:
+  * normalization (X1/X2), tokenization (G2), n-gram generation (G5),
+  * inverted-index stats (A1), blocking join + count/cosine candidate
+  * filter (A2/A3/J1), pair scoring (X3-X5 family), phonetic keys,
+  * language-ID / quality / token-count / fingerprint text analysis.
+  *
+  * documents.text and part.p_name are pure ASCII in the testdata, so the
+  * ICU canonical form equals lower(); full-unicode behavior is pinned by
+  * the ScalaTest goldens instead (TextGoldenSpec).
+  */
+object TextOps {
+  import Tables.load
+
+  /** Space-free character trigram array via pure built-ins (codegen'd,
+    * matches Ngrams byte semantics on ASCII). */
+  def trigramStrings(c: Column): Column =
+    when(length(c) >= 3,
+      array_distinct(filter(
+        transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))),
+        g => !g.contains(" "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** X1/X2: normalization. */
+  def q10Normalize(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), gf.normalize_text(col("text")).as("norm"))
+
+  /** G2 + A-family: token stats. */
+  def q11Tokens(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(gf.normalize_text(col("text")), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+
+  /** G5 + A1: trigram inverted-index stats. */
+  def q12Trigrams(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(trigramStrings(gf.normalize_text(col("text")))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  /** J1 + A2 + A3: the blocking join — part-name pairs sharing trigrams,
+    * filtered by the reference's min-match-count and cosine cutoff
+    * (typeahead.cc:409-423). */
+  def q13BlockingPairs(spark: SparkSession, dir: String): DataFrame = {
+    // intern first (reference D1/D2): pair generation over *distinct*
+    // names only — 2000 parts share 64 names; at 100x scale the pair
+    // count stays bounded by name diversity, not row count
+    val interned = load(spark, dir, "part")
+      .select(gf.normalize_text(col("p_name")).as("name"), col("p_partkey"))
+      .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id"))
+    val p = interned
+      .withColumn("tris", trigramStrings(col("name")))
+      .withColumn("n_grams", size(col("tris")))
+    val keyed = p.select(col("name_id"), col("n_grams"), explode(col("tris")).as("gram"))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.gram") === col("b.gram") && col("a.name_id") < col("b.name_id"))
+      .groupBy(
+        col("a.name_id").as("p1"), col("b.name_id").as("p2"),
+        col("a.n_grams").as("n1"), col("b.n_grams").as("n2"))
+      .agg(count(lit(1)).as("shared"))
+    val minN = least(col("n1"), col("n2")).cast("int")
+    val mmc = lit(2) + floor(minN / (lit(4) + floor(minN / lit(10))))
+    pairs.filter(col("shared") >= mmc.cast("long") &&
+        (col("shared") * col("shared")).cast("double") >= lit(0.17) * col("n1") * col("n2"))
+      .select(col("p1"), col("p2"), col("shared"))
+  }
+
+  /** X-family pair scoring on the blocked pairs (JW + Levenshtein). */
+  def q14PairScores(spark: SparkSession, dir: String): DataFrame = {
+    val names = load(spark, dir, "part")
+      .select(gf.normalize_text(col("p_name")).as("name"), col("p_partkey"))
+      .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id"))
+      .select(col("name_id"), col("name"))
+    q13BlockingPairs(spark, dir)
+      .join(names.withColumnRenamed("name_id", "p1").withColumnRenamed("name", "name1"), Seq("p1"))
+      .join(names.withColumnRenamed("name_id", "p2").withColumnRenamed("name", "name2"), Seq("p2"))
+      .select(col("p1"), col("p2"),
+        round(gf.jaro_winkler(col("name1"), col("name2")), 6).as("jw"),
+        levenshtein(col("name1"), col("name2")).as("lev"))
+      .withColumn("accepted", col("jw") >= 0.9)
+  }
+
+  /** Double-Metaphone phonetic keys (no SQL oracle — rows-only check). */
+  def q15Metaphone(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .select(col("p_partkey"),
+        explode(split(gf.normalize_text(col("p_name")), " ")).as("token"))
+      .withColumn("dm", gf.double_metaphone(col("token")))
+      .filter(length(col("dm")) >= 1)
+
+  /** Reference get_match_score over part names vs a query phrase
+    * (no SQL oracle — pinned by ScalaTest goldens). */
+  def q16MatchScore(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        gf.ref_match_score(col("p_name"), lit("blue")).as("score"))
+      .filter(col("score").isNotNull)
+
+  // ------------------------------------------------------------ analysis
+
+  private val enStop = Seq("the", "a", "and", "of", "to", "value", "data")
+  private val deStop = Seq("der", "die", "das", "und", "von")
+
+  /** Language-ID heuristic: stopword-hit argmax (deterministic tie order
+    * en → de → xx). */
+  def q28LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .withColumn("tokens", split(gf.normalize_text(col("text")), " "))
+    val enCnt = size(filter(col("tokens"), t => t.isin(enStop.map(x => x: Any): _*)))
+    val deCnt = size(filter(col("tokens"), t => t.isin(deStop.map(x => x: Any): _*)))
+    d.select(col("doc_id"),
+      when(enCnt >= deCnt && enCnt > 0, lit("en"))
+        .when(deCnt > enCnt, lit("de"))
+        .otherwise(lit("xx")).as("lang_pred"),
+      enCnt.as("en_hits"), deCnt.as("de_hits"))
+  }
+
+  /** Quality scoring: length/stopword/punct/word-length signals. */
+  def q29Quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .withColumn("norm", gf.normalize_text(col("text")))
+      .withColumn("tokens", split(col("norm"), " "))
+    val nTok0 = size(col("tokens"))
+    val stopHits0 = size(filter(col("tokens"), t => t.isin(enStop.map(x => x: Any): _*)))
+    val d2 = d.withColumn("n_tokens_", nTok0).withColumn("stop_hits_", stopHits0)
+    val nTok = col("n_tokens_")
+    val stopHits = col("stop_hits_")
+    d2.select(col("doc_id"),
+        length(col("norm")).as("n_chars"),
+        nTok.as("n_tokens"),
+        round(length(col("norm")).cast("double") / nTok, 6).as("avg_token_span"),
+        round(stopHits.cast("double") / nTok, 6).as("stopword_ratio"),
+        // integer permille score: exact in any engine (no float rounding
+        // knife-edges in the oracle compare)
+        (least(lit(500L), nTok.cast("long") * 10) +
+          least(lit(500L), expr("CAST(stop_hits_ AS BIGINT) * 2500 div n_tokens_"))).as("quality_pm"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def q30TokenStats(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .withColumn("norm", gf.normalize_text(col("text")))
+      .select(col("doc_id"),
+        size(split(col("norm"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_tokens"))
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * the normalized bytes (mod 1e9+7). */
+  def q31Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .withColumn("norm", gf.normalize_text(col("text")))
+      .select(col("doc_id"),
+        aggregate(
+          transform(sequence(lit(1), length(col("norm"))),
+            i => ascii(col("norm").substr(i, lit(1)))),
+          lit(0L),
+          (acc, c) => (acc * 31 + c) % 1000000007L).as("fp"))
+
+  /** Multimodal plumbing: a deterministic fake binary payload (md5-derived)
+    * with typed metadata decode. The *decode* is a stub (no image libs in
+    * this sandbox, marked clearly); schema/partitioning/batching are real. */
+  def q32MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("payload", unhex(col("h"))) // STUB decode input: fake 16-byte "image"
+    def hexVal(i: Int): Column =
+      expr(s"locate(substring(h, $i, 1), '0123456789abcdef') - 1")
+    d.select(col("doc_id"),
+      length(col("payload")).as("payload_len"),
+      (hexVal(1) * 16 + hexVal(2)).as("fake_width"), // STUB: dims derived from hash
+      (hexVal(3) * 16 + hexVal(4)).as("fake_height"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q10_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[,;\-/().]', ' ', 'g'), '  +', ' ', 'g')) AS norm
+        |FROM documents""".stripMargin,
+    "q11_tokens" ->
+      """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_total
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "q12_trigrams" ->
+      """SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
+        |  SELECT DISTINCT d.doc_id, substr(lower(d.text), i.i, 3) AS gram
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(1, len(d.text) - 2)) AS i) i
+        |  WHERE len(d.text) >= 3 AND substr(lower(d.text), i.i, 3) NOT LIKE '% %'
+        |) GROUP BY 1""".stripMargin,
+    "q13_blocking_pairs" -> """WITH interned AS (
+        |  SELECT lower(p_name) AS name, CAST(min(p_partkey) AS BIGINT) AS name_id
+        |  FROM part GROUP BY 1),
+        |g AS (
+        |  SELECT DISTINCT t.name_id, substr(t.name, i.i, 3) AS gram
+        |  FROM interned t, LATERAL (SELECT unnest(generate_series(1, len(t.name) - 2)) AS i) i
+        |  WHERE len(t.name) >= 3 AND substr(t.name, i.i, 3) NOT LIKE '% %'),
+        |n AS (SELECT name_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.name_id AS p1, b.name_id AS p2, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.name_id < b.name_id
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, shared FROM pairs
+        |JOIN n n1 ON n1.name_id = p1 JOIN n n2 ON n2.name_id = p2
+        |WHERE shared >= 2 + floor(least(n1.n_grams, n2.n_grams)
+        |    / (4 + floor(least(n1.n_grams, n2.n_grams) / 10)))
+        |  AND CAST(shared * shared AS DOUBLE) >= 0.17 * n1.n_grams * n2.n_grams""".stripMargin,
+    "q14_pair_scores" -> """WITH interned AS (
+        |  SELECT lower(p_name) AS name, CAST(min(p_partkey) AS BIGINT) AS name_id
+        |  FROM part GROUP BY 1),
+        |g AS (
+        |  SELECT DISTINCT t.name_id, substr(t.name, i.i, 3) AS gram
+        |  FROM interned t, LATERAL (SELECT unnest(generate_series(1, len(t.name) - 2)) AS i) i
+        |  WHERE len(t.name) >= 3 AND substr(t.name, i.i, 3) NOT LIKE '% %'),
+        |n AS (SELECT name_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.name_id AS p1, b.name_id AS p2, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.name_id < b.name_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT p1, p2 FROM pairs
+        |  JOIN n n1 ON n1.name_id = p1 JOIN n n2 ON n2.name_id = p2
+        |  WHERE shared >= 2 + floor(least(n1.n_grams, n2.n_grams)
+        |      / (4 + floor(least(n1.n_grams, n2.n_grams) / 10)))
+        |    AND CAST(shared * shared AS DOUBLE) >= 0.17 * n1.n_grams * n2.n_grams)
+        |SELECT p1, p2,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS lev,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9 AS accepted
+        |FROM cand JOIN interned a ON a.name_id = p1 JOIN interned b ON b.name_id = p2""".stripMargin,
+    "q28_langid" -> """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('the','a','and','of','to','value','data'))) AS en_hits,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('der','die','das','und','von'))) AS de_hits
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits > en_hits THEN 'de' ELSE 'xx' END AS lang_pred,
+        |  CAST(en_hits AS INT) AS en_hits, CAST(de_hits AS INT) AS de_hits
+        |FROM c""".stripMargin,
+    "q29_quality" -> """WITH d AS (
+        |  SELECT doc_id, lower(text) AS norm, string_split(lower(text), ' ') AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(len(norm) AS INT) AS n_chars,
+        |    CAST(len(tokens) AS INT) AS n_tokens,
+        |    round(CAST(len(norm) AS DOUBLE) / len(tokens), 6) AS avg_token_span,
+        |    round(CAST(len(list_filter(tokens,
+        |      t -> t IN ('the','a','and','of','to','value','data'))) AS DOUBLE)
+        |      / len(tokens), 6) AS stopword_ratio,
+        |    CAST(len(list_filter(tokens,
+        |      t -> t IN ('the','a','and','of','to','value','data'))) AS BIGINT) AS stop_hits
+        |  FROM d)
+        |SELECT doc_id, n_chars, n_tokens, avg_token_span, stopword_ratio,
+        |  least(500, CAST(n_tokens AS BIGINT) * 10)
+        |    + least(500, stop_hits * 2500 // n_tokens) AS quality_pm
+        |FROM c""".stripMargin,
+    "q30_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(lower(text)) + 1),
+        |        i -> CAST(ascii(substr(lower(text), CAST(i AS INT), 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "q32_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(unhex(md5(text))) AS INT) AS payload_len,
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS fake_width,
+        |  (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS fake_height
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** File streaming sources need a directory — stage the single parquet
+    * file into one. */
+  private lazy val streamDir: String = {
+    val d = new java.io.File("/tmp/graft_stream_in")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"${d.getPath}/events.parquet"))
+    d.getPath
+  }
+
+  test("streaming tumbling-window agg equals batch q06 result") {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    StreamOps.runToMemory(spark,
+      StreamOps.eventsWindowStream(stream), "win_out", OutputMode.Append())
+    val streamed = spark.table("win_out")
+    // batch q06 keeps TIMESTAMP_NTZ; align types for the comparison
+    val batch = graft.ops.Relational.q06EventsWindow(spark, dir)
+      .withColumn("win_start", $"win_start".cast("timestamp"))
+    // watermark append-mode emits all windows once input is exhausted except
+    // those still open; with a bounded file all closed windows must match
+    val diff = batch.join(streamed,
+      Seq("win_start", "event_type", "n_events", "sum_value"), "left_anti")
+    val maxStart = batch.agg(max($"win_start").as("m"))
+    // every batch window except the last (possibly-open) ones must appear
+    assert(diff.join(maxStart, diff("win_start") < maxStart("m")).isEmpty,
+      s"streamed result missing closed windows: ${diff.count()}")
+  }
+
+  test("stateful mapGroupsWithState user counts equal batch groupBy") {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir)
+    StreamOps.runToMemory(spark,
+      StreamOps.userCountsStream(spark, stream).toDF(), "uc_out", OutputMode.Update())
+    // last update per user = final running count
+    val streamed = spark.table("uc_out")
+      .groupBy($"user_id").agg(max($"n").as("n"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+  }
+}
