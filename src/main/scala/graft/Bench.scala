@@ -38,14 +38,22 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // ER pipeline throughput probe at this parallelism
-    val erT0 = System.nanoTime()
+    // ER pipeline throughput probe at this parallelism (timed without
+    // the evaluation expansion; F1 evaluated afterwards, untimed)
     val cfg = er.Pipeline.Config(
-      nPages = sys.env.getOrElse("SPARK_GRAFT_ER_PAGES", "20000").toLong,
-      nEntities = 2000,
+      nPages = sys.env.getOrElse("SPARK_GRAFT_ER_PAGES", "50000").toLong,
+      nEntities = 3000,
       workDir = "/tmp/graft_bench_er")
-    val er1 = er.Pipeline.run(spark, cfg)
+    val erT0 = System.nanoTime()
+    val out = er.Pipeline.runPipeline(spark, cfg)
     val erSec = (System.nanoTime() - erT0) / 1e9
+    val truth = er.Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
+      .withColumn("mention_id", org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("url"), org.apache.spark.sql.functions.col("seq")))
+    val universe = er.Pipeline.labeledPairUniverse(out.pairs, out.membership)
+    val erEval = er.Pipeline.evaluate(universe, truth, out.labels)
+    val er1 = er.Pipeline.RunResult(out.mentions, out.distinctStrings, out.stats,
+      out.acceptedPairs, out.clusters, out.iterations, erEval)
     val pairsPerSec = er1.stats.candidatePairs / erSec
     val pagesPerSec = cfg.nPages / erSec
 

@@ -359,9 +359,15 @@ object Pipeline {
       mentions: Long, distinctStrings: Long, stats: BlockingStats,
       acceptedPairs: Long, clusters: Long, iterations: Int, eval: EvalResult)
 
-  /** Full pipeline on the synthetic corpus; returns summary + leaves
-    * checkpoint tables under cfg.workDir. */
-  def run(spark: SparkSession, cfg: Config): RunResult = {
+  final case class PipelineOutput(
+      mentions: Long, distinctStrings: Long, stats: BlockingStats,
+      acceptedPairs: Long, clusters: Long, iterations: Int,
+      pairs: DataFrame, membership: DataFrame, labels: DataFrame)
+
+  /** The timed pipeline: pages → mentions → intern → block → score →
+    * cluster. No evaluation work (truth/universe expansion) — this is the
+    * unit ScalingBench/Bench measure. */
+  def runPipeline(spark: SparkSession, cfg: Config): PipelineOutput = {
     import spark.implicits._
     val pages = Corpus.pages(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
     val mentions = extractMentions(pages).persist(StorageLevel.MEMORY_AND_DISK)
@@ -374,26 +380,33 @@ object Pipeline {
 
     val (pairs, stats) = candidatePairs(strings, cfg)
     val scored = scorePairs(pairs, strings, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val accepted = scored.filter($"accepted").select($"src", $"dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAccepted = accepted.count()
 
     // edges = accepted string pairs + mention→string membership edges
     val membershipEdges = membership
       .filter($"mention_id" =!= $"string_id")
       .select($"string_id".as("src"), $"mention_id".as("dst"))
     val edges = accepted.unionByName(membershipEdges)
-    val nAccepted = accepted.count()
 
     val (labels, metrics) = cluster(mentions.select($"mention_id"), edges, cfg)
+    val nClusters = labels.select($"label").distinct().count()
+    mentions.unpersist(); strings.unpersist(); accepted.unpersist()
+    PipelineOutput(nMentions, nStrings, stats, nAccepted, nClusters,
+      metrics.size, pairs, membership, labels)
+  }
 
+  /** Full pipeline + pairwise-F1 evaluation against generator truth. */
+  def run(spark: SparkSession, cfg: Config): RunResult = {
+    import spark.implicits._
+    val out = runPipeline(spark, cfg)
     val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
       .withColumn("mention_id", xxhash64($"url", $"seq"))
-    val universe = labeledPairUniverse(pairs, membership)
-    val eval = evaluate(universe, truth, labels)
-
-    val nClusters = labels.select($"label").distinct().count()
-    mentions.unpersist(); scored.unpersist(); pairs.unpersist()
-    strings.unpersist(); membership.unpersist()
-    RunResult(nMentions, nStrings, stats, nAccepted, nClusters, metrics.size, eval)
+    val universe = labeledPairUniverse(out.pairs, out.membership)
+    val eval = evaluate(universe, truth, out.labels)
+    out.pairs.unpersist(); out.membership.unpersist()
+    RunResult(out.mentions, out.distinctStrings, out.stats,
+      out.acceptedPairs, out.clusters, out.iterations, eval)
   }
 }

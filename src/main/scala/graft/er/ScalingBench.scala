@@ -33,15 +33,21 @@ object ScalingBench {
     val spark = session(cores)
     try {
       // JIT/codegen warmup on a small corpus so the measured run is steady-state
-      Pipeline.run(spark, Pipeline.Config(nPages = 500, nEntities = 100,
+      Pipeline.runPipeline(spark, Pipeline.Config(nPages = 500, nEntities = 100,
         workDir = s"/tmp/graft_scaling_warm_$cores"))
       val cfg = Pipeline.Config(nPages = nPages, nEntities = nEntities,
         workDir = s"/tmp/graft_scaling_$cores")
       val t0 = System.nanoTime()
-      val res = Pipeline.run(spark, cfg)
+      val out = Pipeline.runPipeline(spark, cfg)
       val sec = (System.nanoTime() - t0) / 1e9
-      Level(cores, sec, res.stats.candidatePairs / sec, nPages / sec,
-        res.eval.f1, res.clusters)
+      val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
+        .withColumn("mention_id", org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("url"),
+          org.apache.spark.sql.functions.col("seq")))
+      val eval = Pipeline.evaluate(
+        Pipeline.labeledPairUniverse(out.pairs, out.membership), truth, out.labels)
+      Level(cores, sec, out.stats.candidatePairs / sec, nPages / sec,
+        eval.f1, out.clusters)
     } finally {
       spark.stop()
       // allow a fresh master for the next level in the same JVM

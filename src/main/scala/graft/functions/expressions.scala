@@ -214,6 +214,27 @@ object ExprKernels {
     val code = metaphone.doubleMetaphone(s)
     if (code == null) "" else code
   }
+
+  /** Returns NaN when undefined (length mismatch / zero norm). */
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return Double.NaN
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) return Double.NaN
+    dot / math.sqrt(na * nb)
+  }
 }
 
 /** Canonical match key: normalize + erase_fillers + synonym/postfix alt
@@ -231,4 +252,43 @@ case class MatchKey(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): MatchKey =
     copy(child = newChild)
   override def prettyName: String = "match_key"
+}
+
+/** Fused cosine similarity over two double arrays: one pass computing
+  * dot, |a|², |b|² (no intermediate array allocation — the HOF chain
+  * zip_with+aggregate costs ~10x more per pair). NULL if either side is
+  * null or lengths differ. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<double> arguments")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val v = ExprKernels.cosine(a, b)
+    if (v.isNaN) null else v
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      s"""
+         |double graft_cos = graft.functions.ExprKernels.cosine($l, $r);
+         |if (Double.isNaN(graft_cos)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft_cos;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
 }

@@ -44,6 +44,9 @@ package object functions {
   /** canonical match key (normalize + alt expansion, graft.text.MatchKeys). */
   def match_key(c: Column): Column = col(MatchKey(ex(c)))
 
+  /** fused cosine similarity over array<double> columns. */
+  def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
+
   /** Register all kernels under SQL names (idempotent, session-scoped). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -57,5 +60,6 @@ package object functions {
     reg.createOrReplaceTempFunction("ref_match_score", es => RefMatchScore(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("double_metaphone", es => DoubleMetaphoneKey(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("match_key", es => MatchKey(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
   }
 }

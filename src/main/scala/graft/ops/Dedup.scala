@@ -70,38 +70,43 @@ object Dedup {
       .agg(sum(expr("shiftleft(bitval, b)")).as("simhash"))
   }
 
-  /** Trigram-set Jaccard near-dup pairs over documents (≥ 0.55). */
+  /** Word-3-shingle Jaccard near-dup pairs over documents (≥ 0.1).
+    * Shingle keys are high-entropy (unlike char trigrams over a small
+    * vocabulary), so the shared-key self-join stays near-linear — the
+    * scale-safe formulation. */
   def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = load(spark, dir, "documents")
-      .select(col("doc_id"), gf.normalize_text(col("text")).as("norm"))
-      .withColumn("tris", TextOps.trigramStrings(col("norm")))
-      .withColumn("n", size(col("tris")))
-    val keyed = d.select(col("doc_id"), col("n"), explode(col("tris")).as("gram"))
+      .withColumn("tokens", split(gf.normalize_text(col("text")), " "))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("tokens")) - 2),
+        i => concat_ws(" ",
+          element_at(col("tokens"), i),
+          element_at(col("tokens"), i + 1),
+          element_at(col("tokens"), i + 2))))).as("shingle"))
+    val withN = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val keyed = d.join(withN, Seq("doc_id"))
     keyed.as("a").join(keyed.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         round(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 6))
-      .filter(col("jaccard") >= 0.55)
+      .filter(col("jaccard") >= 0.1)
       .select(col("src"), col("dst"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs (double-precision dot via array HOFs,
-    * threshold chosen for the synthetic embedding distribution). */
+  /** Embedding-cosine near-dup pairs via the fused codegen CosineSim
+    * expression (threshold for the synthetic embedding distribution). */
   def q25EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
-    val a = e.select(col("vec_id").as("src"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("dst"), col("v").as("vb"), col("nrm").as("nb"))
+    val a = e.select(col("vec_id").as("src"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("dst"), col("v").as("vb"))
     a.crossJoin(b).filter(col("src") < col("dst"))
-      .withColumn("dot", aggregate(
-        zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 5))
+      .withColumn("cosine", round(gf.cosine_sim(col("va"), col("vb")), 5))
       .filter(col("cosine") >= 0.35)
       .select(col("src"), col("dst"), col("cosine"))
   }
@@ -151,20 +156,20 @@ object Dedup {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
         |FROM sums GROUP BY 1""".stripMargin,
-    "q23_ngram_jaccard" ->
-      """WITH g AS (
-        |  SELECT DISTINCT d.doc_id, substr(lower(d.text), i.i, 3) AS gram
-        |  FROM documents d, LATERAL (SELECT unnest(generate_series(1, len(d.text) - 2)) AS i) i
-        |  WHERE len(d.text) >= 3 AND substr(lower(d.text), i.i, 3) NOT LIKE '% %'),
-        |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    "q23_ngram_jaccard" -> """WITH sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) i
+        |  WHERE len(t) >= 3),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |p AS (
         |  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT src, dst,
         |  round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 6) AS jaccard
         |FROM p JOIN n n1 ON n1.doc_id = src JOIN n n2 ON n2.doc_id = dst
-        |WHERE round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 6) >= 0.55""".stripMargin,
+        |WHERE round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 6) >= 0.1""".stripMargin,
     "q25_embedding_neardup" ->
       """SELECT a.vec_id AS src, b.vec_id AS dst,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

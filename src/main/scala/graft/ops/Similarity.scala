@@ -15,20 +15,18 @@ object Similarity {
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
 
-  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) / (na * nb)
+  private def cosine(va: Column, vb: Column): Column =
+    graft.functions.cosine_sim(va, vb)
 
   /** Brute-force exact cosine top-10 for query vectors (vec_id < 5). */
   def q26CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(load(spark, dir, "embeddings"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
-    val c = e.select(col("vec_id"), col("v"), col("nrm"))
+      .select(col("vec_id").as("qid"), col("v").as("vq"))
+    val c = e.select(col("vec_id"), col("v"))
     q.crossJoin(c).filter(col("qid") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("vq"), col("v"), col("nq"), col("nrm")))
+      .withColumn("cosine", cosine(col("vq"), col("v")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rnk") <= 10)
@@ -46,11 +44,11 @@ object Similarity {
           (element_at(col("v"), 2) > 0).cast("int") * 2 +
           (element_at(col("v"), 3) > 0).cast("int"))
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"), col("bucket"))
-    val c = e.select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket"))
+    val c = e.select(col("vec_id"), col("v"), col("bucket"))
     q.join(c, Seq("bucket")) // bucket-local candidates only
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("vq"), col("v"), col("nq"), col("nrm")))
+      .withColumn("cosine", cosine(col("vq"), col("v")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rnk") <= 5)
