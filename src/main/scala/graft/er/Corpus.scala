@@ -48,16 +48,34 @@ object DetRandom {
   */
 object Corpus {
   // German-ish stems; some carry diacritics to exercise normalization.
+  // Every list is curated to pairwise Levenshtein >= 3 on the *canonical*
+  // forms (asserted in CorpusSpec): a 1-edit-typo corruption can then
+  // never land within 1 edit of a different entity's variant. Without
+  // this, dense entity spaces contain string-indistinguishable truth
+  // pairs (berg/burg) that no string scorer — the reference's included —
+  // can separate without contextual evidence.
   private val stems = Vector(
-    "linden", "berg", "bach", "wald", "stein", "dorf", "feld", "haus",
-    "kirch", "mühl", "rosen", "eichen", "winter", "ober", "unter", "neu",
-    "grün", "schön", "löwen", "adler", "brunnen", "hof", "tal", "see",
-    "burg", "markt", "garten", "wiesen", "birken", "tannen", "falken", "hirsch")
+    "linden", "bach", "wald", "stein", "dorf", "haus", "kirch", "mühl",
+    "rosen", "eichen", "winter", "ober", "grün", "adler", "brunnen",
+    "garten", "wiesen", "birken", "falken", "sommer", "ahorn", "amsel",
+    "blumen", "drossel", "erlen", "fasan", "flieder", "fuchs", "gänse",
+    "habicht", "heide", "holunder", "hopfen", "hummel", "jasmin",
+    "kastanien", "kiefern", "kirschen", "klee", "kranich", "krokus",
+    "lärchen", "marder", "meisen", "pappel", "quitten", "reiher",
+    "schwalben", "sperber", "storch", "tulpen", "wacholder", "zeisig",
+    "ziegel", "zypressen", "magnolien", "orchideen", "pfingst",
+    "schlehen", "hafer", "gerste", "senf", "thymian", "salbei")
   private val suffixes = Vector(
-    "straße", "weg", "platz", "allee", "gasse", "ring", "hauptbahnhof", "markt")
+    "straße", "weg", "platz", "allee", "gasse", "ring", "hauptbahnhof",
+    "markt", "ufer", "promenade", "damm", "steig")
   private val cities = Vector(
     "Darmstadt", "Frankfurt", "Ilmenau", "Aschaffenburg", "Burgas",
-    "София", "Berlin", "Umstadt", "Zappendorf", "Mainz", "Erlenbach", "Werne")
+    "София", "Berlin", "Umstadt", "Zappendorf", "Mainz", "Erlenbach",
+    "Werne", "Heidelberg", "Göttingen", "Rosenheim", "Flensburg",
+    "Cottbus", "Paderborn", "Würzburg", "Regensburg", "Oldenburg",
+    "Bamberg", "Tübingen", "Пловдив")
+
+  private[er] def vocabularies: Seq[Vector[String]] = Seq(stems, suffixes, cities)
   // filler vocabulary for non-mention prose lines
   private val fillerWords = Vector(
     "the", "page", "offers", "news", "about", "local", "events", "and",

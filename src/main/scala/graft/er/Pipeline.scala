@@ -41,12 +41,17 @@ object Pipeline {
       maxBlockSize: Int = 256,
       // scoring accept rule (tuned on the synthetic corpus via TuneMain;
       // precision-first: one bad edge merges two whole clusters)
-      jwThreshold: Double = 0.94,
+      jwThreshold: Double = 0.96,
       levMaxPerBytes: Double = 1.0 / 12.0, // allowed edits per byte of min length
+      levMaxCap: Int = 2, // corruption model allows <=1 typo edit per side
       // clustering
       maxIterations: Int = 20,
       workDir: String = "/tmp/graft_er",
-      resume: Boolean = false)
+      resume: Boolean = false,
+      // false = skip all metric-only actions (counts/stats collects) so a
+      // bench run is one lazy DAG per cluster iteration; production keeps
+      // true (the north_rule wants logged stats).
+      collectStats: Boolean = true)
 
   final case class BlockingStats(
       totalKeys: Long, keptKeys: Long, hotKeysDropped: Long,
@@ -123,10 +128,14 @@ object Pipeline {
     val freq = keyed.groupBy($"key").agg(count(lit(1)).as("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val totalKeys = freq.count()
-    val hotAgg = freq.filter($"cnt" > cfg.maxBlockSize)
-      .agg(count(lit(1)).as("k"), coalesce(sum($"cnt"), lit(0L)).as("v"))
-      .collect()(0)
+    val (totalKeys, hotKeys, hotVolume) =
+      if (cfg.collectStats) {
+        val agg = freq.agg(count(lit(1)).as("t"),
+          coalesce(sum(when($"cnt" > cfg.maxBlockSize, 1L).otherwise(0L)), lit(0L)).as("k"),
+          coalesce(sum(when($"cnt" > cfg.maxBlockSize, $"cnt").otherwise(0L)), lit(0L)).as("v"))
+          .collect()(0)
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      } else (-1L, -1L, -1L)
     val kept = freq.filter($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize)
 
     val blocks = keyed
@@ -176,15 +185,15 @@ object Pipeline {
 
     val pairs = trigramPairs.unionByName(phonPairs).dropDuplicates("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nPairs = pairs.count()
+    val nPairs = if (cfg.collectStats) pairs.count() else -1L
     keyed.unpersist()
     freq.unpersist()
 
     val stats = BlockingStats(
       totalKeys = totalKeys,
-      keptKeys = totalKeys - hotAgg.getLong(0),
-      hotKeysDropped = hotAgg.getLong(0),
-      hotVolumeDropped = hotAgg.getLong(1),
+      keptKeys = if (totalKeys < 0) -1L else totalKeys - hotKeys,
+      hotKeysDropped = hotKeys,
+      hotVolumeDropped = hotVolume,
       candidatePairs = nPairs)
     (pairs, stats)
   }
@@ -209,11 +218,26 @@ object Pipeline {
       .withColumn("lev", gf.bounded_levenshtein($"src_key", $"dst_key"))
       .withColumn("sift", gf.sift4($"src_key", $"dst_key"))
       .withColumn("min_len", least(length($"src_key"), length($"dst_key")))
-      .withColumn("lev_max", greatest(lit(1), ceil($"min_len" * cfg.levMaxPerBytes)).cast("int"))
+      .withColumn("lev_max", greatest(lit(1),
+        least(lit(cfg.levMaxCap), ceil($"min_len" * cfg.levMaxPerBytes))).cast("int"))
+      // token-aligned gate: a whole-string score can stay high when one
+      // *aligned token* is a different word entirely (long shared base +
+      // short differing city, or long base + different suffix) — require
+      // every aligned token pair to be individually close. Token-count
+      // mismatches (e.g. a deleted space) fall back to the full-string
+      // rule alone.
+      .withColumn("tok_ok", {
+        val ta = split($"src_key", " ")
+        val tb = split($"dst_key", " ")
+        when(size(ta) =!= size(tb), lit(true)).otherwise(
+          forall(zip_with(ta, tb, (a, b) =>
+            levenshtein(a, b) <= 2 || gf.jaro_winkler(a, b) >= 0.92), x => x))
+      })
       .withColumn("accepted",
-        $"jw" >= cfg.jwThreshold ||
-          ($"lev" =!= graft.text.EditDistances.Overflow && $"lev" <= $"lev_max"))
-      .select($"src", $"dst", $"jw", $"lev", $"sift", $"min_len", $"accepted")
+        ($"jw" >= cfg.jwThreshold ||
+          ($"lev" =!= graft.text.EditDistances.Overflow && $"lev" <= $"lev_max")) &&
+          $"tok_ok")
+      .select($"src", $"dst", $"jw", $"lev", $"sift", $"min_len", $"tok_ok", $"accepted")
   }
 
   // ---------------------------------------------------------------- clustering
@@ -279,18 +303,20 @@ object Pipeline {
 
       next.write.mode(SaveMode.Overwrite).parquet(labelPath(iter)) // checkpoint: cuts lineage
       val checked = spark.read.parquet(labelPath(iter))
-      val agg = checked.agg(
-        coalesce(sum(when($"changed", 1L).otherwise(0L)), lit(0L)).as("chg"),
-        count(lit(1)).as("rows")).collect()(0)
-      val changes = agg.getLong(0)
-      val rows = agg.getLong(1)
-      val parts = checked.rdd.getNumPartitions
-      metrics += IterationMetrics(iter, changes, rows, parts)
-      // per-partition lineage metrics for resumability audits
-      checked.groupBy(spark_partition_id().as("partition_id"))
+      // one scan: per-partition lineage metrics, collected to the driver
+      // (tiny), then summed and persisted as a single-task write
+      val perPartition = checked
+        .groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("rows"),
           sum(when($"changed", 1L).otherwise(0L)).as("changed"))
-        .withColumn("iteration", lit(iter))
+        .collect()
+      val changes = perPartition.map(_.getLong(2)).sum
+      val rows = perPartition.map(_.getLong(1)).sum
+      metrics += IterationMetrics(iter, changes, rows, perPartition.length)
+      import spark.implicits._
+      perPartition.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), iter)).toSeq
+        .toDF("partition_id", "rows", "changed", "iteration")
+        .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/label_metrics_iter_$iter")
 
       labels = checked.select($"id", $"label")
@@ -367,31 +393,47 @@ object Pipeline {
   /** The timed pipeline: pages → mentions → intern → block → score →
     * cluster. No evaluation work (truth/universe expansion) — this is the
     * unit ScalingBench/Bench measure. */
+  private def timed[T](tag: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    if (sys.env.contains("GRAFT_STAGE_TIMING"))
+      println(f"[stage] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   def runPipeline(spark: SparkSession, cfg: Config): PipelineOutput = {
     import spark.implicits._
     val pages = Corpus.pages(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
     val mentions = extractMentions(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    val nMentions = mentions.count()
+    val nMentions = timed("extract")(if (cfg.collectStats) mentions.count() else -1L)
 
     val (strings0, membership0) = internStrings(mentions)
     val strings = strings0.persist(StorageLevel.MEMORY_AND_DISK)
     val membership = membership0.persist(StorageLevel.MEMORY_AND_DISK)
-    val nStrings = strings.count()
+    val nStrings = timed("intern")(if (cfg.collectStats) strings.count() else -1L)
 
-    val (pairs, stats) = candidatePairs(strings, cfg)
+    val (pairs, stats) = timed("blocking")(candidatePairs(strings, cfg))
     val scored = scorePairs(pairs, strings, cfg)
     val accepted = scored.filter($"accepted").select($"src", $"dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nAccepted = accepted.count()
+    val nAccepted = timed("scoring")(if (cfg.collectStats) accepted.count() else -1L)
 
-    // edges = accepted string pairs + mention→string membership edges
-    val membershipEdges = membership
-      .filter($"mention_id" =!= $"string_id")
-      .select($"string_id".as("src"), $"mention_id".as("dst"))
-    val edges = accepted.unionByName(membershipEdges)
-
-    val (labels, metrics) = cluster(mentions.select($"mention_id"), edges, cfg)
-    val nClusters = labels.select($"label").distinct().count()
+    // cluster the *string* graph only (strings are the interned minority;
+    // iterating label propagation over every mention would shuffle the
+    // full corpus per iteration), then expand to mentions with ONE join
+    // through the membership table.
+    val (stringLabels, metrics) = timed("cluster")(cluster(
+      strings.select($"string_id"), accepted, cfg))
+    val labels = membership
+      .join(stringLabels.withColumnRenamed("id", "string_id"), Seq("string_id"))
+      .select($"mention_id".as("id"), $"label")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nClusters = timed("expand") {
+      // the membership join is the only job that must run here; count it
+      // always (it materializes the labels for callers)
+      if (cfg.collectStats) labels.select($"label").distinct().count()
+      else { labels.count(); -1L }
+    }
     mentions.unpersist(); strings.unpersist(); accepted.unpersist()
     PipelineOutput(nMentions, nStrings, stats, nAccepted, nClusters,
       metrics.size, pairs, membership, labels)

@@ -34,19 +34,20 @@ object ScalingBench {
     try {
       // JIT/codegen warmup on a small corpus so the measured run is steady-state
       Pipeline.runPipeline(spark, Pipeline.Config(nPages = 500, nEntities = 100,
-        workDir = s"/tmp/graft_scaling_warm_$cores"))
+        workDir = s"/tmp/graft_scaling_warm_$cores", collectStats = false))
       val cfg = Pipeline.Config(nPages = nPages, nEntities = nEntities,
-        workDir = s"/tmp/graft_scaling_$cores")
+        workDir = s"/tmp/graft_scaling_$cores", collectStats = false)
       val t0 = System.nanoTime()
       val out = Pipeline.runPipeline(spark, cfg)
       val sec = (System.nanoTime() - t0) / 1e9
+      val nPairs = out.pairs.count() // untimed: metric-only
       val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
         .withColumn("mention_id", org.apache.spark.sql.functions.xxhash64(
           org.apache.spark.sql.functions.col("url"),
           org.apache.spark.sql.functions.col("seq")))
       val eval = Pipeline.evaluate(
         Pipeline.labeledPairUniverse(out.pairs, out.membership), truth, out.labels)
-      Level(cores, sec, out.stats.candidatePairs / sec, nPages / sec,
+      Level(cores, sec, nPairs / sec, nPages / sec,
         eval.f1, out.clusters)
     } finally {
       spark.stop()
@@ -57,8 +58,8 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val nPages = if (args.length > 0) args(0).toLong else 40000L
-    val nEntities = if (args.length > 1) args(1).toInt else 3000
+    val nPages = if (args.length > 0) args(0).toLong else 2000000L
+    val nEntities = if (args.length > 1) args(1).toInt else 100000
     val lo = runAt(8, nPages, nEntities)
     val hi = runAt(32, nPages, nEntities)
     val eff = (lo.seconds / hi.seconds) / 4.0

@@ -75,7 +75,9 @@ object TuneMain {
 
     for (theta <- Seq(0.90, 0.92, 0.93, 0.94, 0.95, 0.96)) {
       val acc = lab.withColumn("pred",
-        $"jw" >= theta || ($"lev" =!= 255 && $"lev" <= greatest(lit(1), ceil($"min_len" * cfg.levMaxPerBytes)).cast("int")))
+        ($"jw" >= theta || ($"lev" =!= 255 &&
+          $"lev" <= greatest(lit(1), least(lit(cfg.levMaxCap),
+            ceil($"min_len" * cfg.levMaxPerBytes))).cast("int"))) && $"tok_ok")
       val agg = acc.agg(
         sum(when($"is_match" && $"pred", 1L).otherwise(0L)),
         sum(when(!$"is_match" && $"pred", 1L).otherwise(0L)),

@@ -25,10 +25,29 @@ object MatchKeys {
         else t
     }
 
-  /** raw → canonical match key (normalize + fillers + alt expansion). */
+  /** German digraph fold: ae→a, oe→o, ue→u (single left-to-right pass).
+    * utf8proc normalization strips umlaut marks (ä→a) but leaves the
+    * spelled-out digraph ("ae") untouched; folding both onto the same
+    * bytes makes diacritic spell-outs key-identical to their stripped
+    * forms. Match-key only — slightly lossy, never displayed. */
+  def foldDigraphs(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (i + 1 < n && s.charAt(i + 1) == 'e' && (c == 'a' || c == 'o' || c == 'u')) {
+        sb.append(c); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** raw → canonical match key (normalize + fillers + digraph fold + alt
+    * expansion). */
   def matchKey(raw: String): String = {
     if (raw == null) return null
-    val canon = Normalize.canonical(raw)
+    val canon = foldDigraphs(Normalize.canonical(raw))
     if (canon.isEmpty) return canon
     val out = new java.lang.StringBuilder(canon.length + 8)
     var i = 0
