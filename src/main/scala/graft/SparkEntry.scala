@@ -54,6 +54,8 @@ object SparkEntry {
     "q14_pair_scores" -> (TextOps.q14PairScores _),
     "q15_metaphone" -> (TextOps.q15Metaphone _),
     "q16_match_score" -> (TextOps.q16MatchScore _),
+    "q17_phrases" -> (Extras.q17Phrases _),
+    "q18_prior_scores" -> (Extras.q18PriorScores _),
     // dedup suite
     "q20_exact_dedup" -> (Dedup.q20ExactDedup _),
     "q21_minhash" -> (Dedup.q21Minhash _),
@@ -71,7 +73,12 @@ object SparkEntry {
     "q31_fingerprint" -> (TextOps.q31Fingerprint _),
     "q32_media_meta" -> (TextOps.q32MediaMeta _),
     // transitive clustering operator
-    "q33_components" -> (Components.q33Components _)
+    "q33_components" -> (Components.q33Components _),
+    // spatial cell join + area-set operators
+    "q34_spatial_cell_join" -> (Extras.q34SpatialCellJoin _),
+    "q35_areaset_ops" -> (Extras.q35AreasetOps _),
+    // per-country address formatting (X14)
+    "q36_format_address" -> (Extras.q36FormatAddress _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +88,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++
       (TextOps.oracles - "q15_metaphone" - "q16_match_score") ++
-      Dedup.oracles ++ Similarity.oracles ++ Components.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles
 }

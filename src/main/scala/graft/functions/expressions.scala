@@ -215,6 +215,12 @@ object ExprKernels {
     if (code == null) "" else code
   }
 
+  def formatAddress(houseNumber: String, road: String, postcode: String,
+      city: String, country: String, countryCode: String): String =
+    graft.text.Formatter.format(graft.text.Formatter.Address(
+      houseNumber = houseNumber, road = road, postcode = postcode,
+      city = city, country = country, countryCode = countryCode))
+
   /** Returns NaN when undefined (length mismatch / zero norm). */
   def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
@@ -291,4 +297,32 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** Per-country address formatting (reference formatter.cc:87-159, X14).
+  * children = (house_number, road, postcode, city, country, country_code),
+  * all strings. NULL inputs are treated as empty components.
+  * CodegenFallback: template rendering is a per-entity output step, never
+  * on the pairwise hot path — interpreted eval costs nothing here. */
+case class FormatAddress(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.size == 6, "format_address takes 6 arguments")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(c => c.dataType.isInstanceOf[StringType] || c.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "format_address requires string arguments")
+  private def str(v: Any): String =
+    if (v == null) "" else v.asInstanceOf[UTF8String].toString
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    UTF8String.fromString(ExprKernels.formatAddress(
+      str(vs(0)), str(vs(1)), str(vs(2)), str(vs(3)), str(vs(4)), str(vs(5))))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FormatAddress = copy(children = newChildren)
+  override def prettyName: String = "format_address"
 }

@@ -47,6 +47,11 @@ package object functions {
   /** fused cosine similarity over array<double> columns. */
   def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
 
+  /** per-country address formatting (reference formatter.cc:87-159). */
+  def format_address(houseNumber: Column, road: Column, postcode: Column,
+      city: Column, country: Column, countryCode: Column): Column =
+    col(FormatAddress(Seq(houseNumber, road, postcode, city, country, countryCode).map(ex)))
+
   /** Register all kernels under SQL names (idempotent, session-scoped). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -61,5 +66,6 @@ package object functions {
     reg.createOrReplaceTempFunction("double_metaphone", es => DoubleMetaphoneKey(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("match_key", es => MatchKey(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("format_address", es => FormatAddress(es), "scala_udf")
   }
 }

@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coverage queries for the remaining SURVEY.md §2 operator families:
+  *
+  *  - q17: G3 phrase windows + A5 popcount bitmask aggregation
+  *    (reference /root/reference/include/adr/normalize.h:136-190; the
+  *    reference-exact recursive synonym expansion is graft.text.Phrases,
+  *    pinned byte-for-byte by TextGoldenSpec — this query demonstrates the
+  *    declarative window-enumeration shape that Catalyst codegens).
+  *  - q18: X8/X9/X11 score priors (category prior, clamped log-population
+  *    score, language-preference score; get_suggestions.cc:38-55, 427-448).
+  *  - q34: J5/J6 spatial cell join + X13 distance + X10 distance tiers
+  *    (extract.cc:289-357, reverse.cc:39-132): points and sites binned to
+  *    1-degree cells, sites exploded to 3×3 neighbor cells so every point
+  *    probes exactly its own cell — the broadcast-free, shuffle-on-cell
+  *    spatial join that survives 100 TB (no cross join anywhere).
+  *  - q35: A7/A8/A9 area-set operators + D4 hash-consing
+  *    (typeahead.cc:26-39, 308-315; guess_context.cc:14-23, 105-133):
+  *    containment chains as ArrayType columns, argmin/first-match via
+  *    array HOFs, distinct sets interned to dense ids.
+  */
+object Extras {
+  import Tables.load
+
+  /** G3+A5: contiguous token windows of length 1..4 over interned part
+    * names, each tagged with its absolute-token bitmask (LSB = token 0,
+    * normalize.h:73-75) and its popcount. */
+  def q17Phrases(spark: SparkSession, dir: String): DataFrame = {
+    val interned = load(spark, dir, "part")
+      .select(graft.functions.normalize_text(col("p_name")).as("name"), col("p_partkey"))
+      .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id"))
+    interned
+      .withColumn("t", split(col("name"), " "))
+      .select(col("name_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")))).as("frm"))
+      .select(col("name_id"), col("t"), col("frm"),
+        explode(sequence(lit(1), least(lit(4), size(col("t")) - col("frm") + 1))).as("len"))
+      .select(col("name_id"), col("frm"), col("len"),
+        concat_ws(" ", slice(col("t"), col("frm"), col("len"))).as("phrase"),
+        expr("CAST(shiftleft(shiftleft(1, len) - 1, frm - 1) AS BIGINT)").as("token_bits"))
+      .withColumn("n_bits", bit_count(col("token_bits")).cast("int"))
+  }
+
+  /** X8/X9/X11 priors over documents: category prior (source), clamped
+    * log10 population-style score (n_chars as the size signal), language
+    * preference by array_position against a preference list. */
+  def q18PriorScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+    val category = when(col("source").isin("src0", "src1", "src2"), 3.0)
+      .when(col("source").isin("src3", "src4"), 2.0)
+      .otherwise(-0.5)
+    val pop = round(least(lit(5.0),
+      greatest(lit(1.2), lit(1.25) * (log10(col("n_chars")) - 1))), 6)
+    val langPos = array_position(array(lit("en"), lit("de")), col("lang"))
+    val langScore = when(langPos === 1, 0.5).when(langPos === 2, 0.25).otherwise(-0.1)
+    d.select(col("doc_id"),
+      category.as("category_score"),
+      pop.as("pop_score"),
+      langScore.as("lang_score"),
+      round(category + pop + langScore, 6).as("score"))
+  }
+
+  /** J5/J6 spatial cell join: customers as points, suppliers as sites with
+    * deterministic synthetic coordinates; sites replicated into their 3×3
+    * neighbor cells, points probe one cell; exact squared-degree-distance
+    * range predicate (IEEE-exact — no trig on the filter path) plus
+    * haversine (X13) and distance-bias tiers (X10) as score columns. */
+  def q34SpatialCellJoin(spark: SparkSession, dir: String): DataFrame = {
+    def coords(df: DataFrame, key: String, idName: String): DataFrame =
+      df.select(col(key).as(idName),
+        ((col(key) * 7919) % 1000).cast("double").divide(100.0).minus(5.0).as("lat"),
+        ((col(key) * 104729) % 1000).cast("double").divide(100.0).minus(5.0).as("lng"))
+    val pts = coords(load(spark, dir, "customer"), "c_custkey", "id")
+      .withColumn("cla", floor(col("lat")).cast("int"))
+      .withColumn("clo", floor(col("lng")).cast("int"))
+    val sites = coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
+      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+      .select(col("site_id"), col("lat").as("s_lat"), col("lng").as("s_lng"),
+        (floor(col("lat")) + col("dx")).cast("int").as("cla"),
+        (floor(col("lng")) + col("dy")).cast("int").as("clo"))
+    val dlat = col("lat") - col("s_lat")
+    val dlng = col("lng") - col("s_lng")
+    val dist2 = dlat * dlat + dlng * dlng
+    val hav = lit(6371.0) * lit(2.0) * asin(sqrt(
+      pow(sin(radians(dlat) / 2), 2) +
+        cos(radians(col("lat"))) * cos(radians(col("s_lat"))) *
+          pow(sin(radians(dlng) / 2), 2)))
+    pts.join(sites, Seq("cla", "clo")) // cell equi-join: shuffle on cell only
+      .filter(dist2 <= 0.25)
+      .select(col("id"), col("site_id"),
+        round(dist2, 4).as("dist2"),
+        round(hav, 2).as("hav_km"),
+        when(dist2 < 0.01, 2.5).when(dist2 < 0.09, 2.0).otherwise(1.0).as("tier"))
+  }
+
+  /** A7/A8/A9 + D4: containment chains (nation ⊂ region) as ArrayType
+    * columns hash-consed to dense set ids; country resolution = first
+    * array element at the country admin level (A9), top area = argmin by
+    * admin level via array_sort (A7); per-set customer rollup (A8-shaped
+    * aggregation). */
+  def q35AreasetOps(spark: SparkSession, dir: String): DataFrame = {
+    val n = load(spark, dir, "nation")
+    val r = load(spark, dir, "region")
+    val chains = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"),
+        array(
+          struct(lit(4).as("level"), col("n_name").as("name")),
+          struct(lit(2).as("level"), col("r_name").as("name"))).as("areas"))
+      // D4 hash-consing: one id per distinct chain (array equality)
+      .withColumn("area_set", concat_ws("|", transform(col("areas"), a => a("name"))))
+    val sets = chains.groupBy(col("area_set"))
+      .agg(min(col("n_nationkey")).as("set_id"), first(col("areas")).as("areas"))
+      // A9: first area with a country-level code
+      .withColumn("country",
+        element_at(filter(col("areas"), a => a("level") === 4), 1)("name"))
+      // A7: argmin by admin level (most precise container)
+      .withColumn("top_area",
+        element_at(array_sort(col("areas")), 1)("name"))
+    val c = load(spark, dir, "customer")
+    c.join(broadcast(chains.select(col("n_nationkey"), col("area_set"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(sets.select(col("area_set"), col("set_id"), col("country"), col("top_area"))),
+        Seq("area_set"))
+      .groupBy(col("set_id"), col("area_set"), col("country"), col("top_area"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** X14 address formatting: supplier rows rendered with per-country
+    * templates (graft.text.Formatter; reference formatter.cc:87-159). The
+    * oracle replicates each template's output shape with plain concat —
+    * valid because every component here is non-empty, so the cleanup
+    * pipeline (empty-line removal) is the identity; the empty-component
+    * paths are pinned by FormatterSpec's reference goldens instead. */
+  def q36FormatAddress(spark: SparkSession, dir: String): DataFrame = {
+    val s = load(spark, dir, "supplier")
+    val n = load(spark, dir, "nation")
+    val r = load(spark, dir, "region")
+    val code = when(col("s_suppkey") % 4 === 0, "FR")
+      .when(col("s_suppkey") % 4 === 1, "US")
+      .when(col("s_suppkey") % 4 === 2, "DE")
+      .otherwise("XX")
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), code.as("code"),
+        graft.functions.format_address(
+          col("s_suppkey").cast("string"),
+          lit("Main Street"),
+          (col("s_suppkey") + 10000).cast("string"),
+          col("n_name"),
+          col("r_name"),
+          code).as("formatted"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q36_format_address" ->
+      """SELECT s_suppkey,
+        |  CASE s_suppkey % 4 WHEN 0 THEN 'FR' WHEN 1 THEN 'US'
+        |       WHEN 2 THEN 'DE' ELSE 'XX' END AS code,
+        |  CASE s_suppkey % 4
+        |    WHEN 0 THEN s_suppkey || ' Main Street, ' || (s_suppkey + 10000)
+        |      || ' ' || n_name || ', ' || r_name
+        |    WHEN 1 THEN s_suppkey || ' Main Street, ' || n_name || ', '
+        |      || (s_suppkey + 10000) || ', ' || r_name
+        |    WHEN 2 THEN 'Main Street ' || s_suppkey || ', ' || (s_suppkey + 10000)
+        |      || ' ' || n_name || ', ' || r_name
+        |    ELSE s_suppkey || ' Main Street' END AS formatted
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q17_phrases" ->
+      """WITH interned AS (
+        |  SELECT lower(p_name) AS name, CAST(min(p_partkey) AS BIGINT) AS name_id
+        |  FROM part GROUP BY 1),
+        |tok AS (SELECT name_id, string_split(name, ' ') AS t FROM interned),
+        |w AS (
+        |  SELECT name_id, CAST(f.f AS INT) AS frm, CAST(l.l AS INT) AS len,
+        |    array_to_string(t[f.f : f.f + l.l - 1], ' ') AS phrase,
+        |    CAST(((1 << l.l) - 1) << (f.f - 1) AS BIGINT) AS token_bits
+        |  FROM tok,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t))) AS f) f,
+        |    LATERAL (SELECT unnest(generate_series(1, least(4, len(t) - f.f + 1))) AS l) l)
+        |SELECT name_id, frm, len, phrase, token_bits,
+        |  CAST(bit_count(token_bits) AS INT) AS n_bits
+        |FROM w""".stripMargin,
+    "q18_prior_scores" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN source IN ('src0','src1','src2') THEN 3.0
+        |         WHEN source IN ('src3','src4') THEN 2.0 ELSE -0.5 END AS DOUBLE) AS category_score,
+        |    round(least(5.0, greatest(1.2, 1.25 * (log10(n_chars) - 1))), 6) AS pop_score,
+        |    CAST(CASE list_position(['en','de'], lang)
+        |         WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE -0.1 END AS DOUBLE) AS lang_score
+        |  FROM documents)
+        |SELECT doc_id, category_score, pop_score, lang_score,
+        |  round(category_score + pop_score + lang_score, 6) AS score
+        |FROM s""".stripMargin,
+    "q34_spatial_cell_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 - 5.0 AS lat,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 - 5.0 AS lng
+        |  FROM customer),
+        |sites AS (
+        |  SELECT s_suppkey AS site_id,
+        |    CAST((s_suppkey * 7919) % 1000 AS DOUBLE) / 100.0 - 5.0 AS lat,
+        |    CAST((s_suppkey * 104729) % 1000 AS DOUBLE) / 100.0 - 5.0 AS lng
+        |  FROM supplier),
+        |site_cells AS (
+        |  SELECT site_id, lat, lng,
+        |    CAST(floor(lat) + dx.dx AS INT) AS cla, CAST(floor(lng) + dy.dy AS INT) AS clo
+        |  FROM sites,
+        |    LATERAL (SELECT unnest([-1,0,1]) AS dx) dx,
+        |    LATERAL (SELECT unnest([-1,0,1]) AS dy) dy),
+        |pt_cells AS (
+        |  SELECT id, lat, lng, CAST(floor(lat) AS INT) AS cla,
+        |    CAST(floor(lng) AS INT) AS clo FROM pts),
+        |j AS (
+        |  SELECT p.id, s.site_id, p.lat - s.lat AS dlat, p.lng - s.lng AS dlng,
+        |    p.lat AS plat, s.lat AS slat
+        |  FROM pt_cells p JOIN site_cells s ON p.cla = s.cla AND p.clo = s.clo)
+        |SELECT id, site_id,
+        |  round(dlat * dlat + dlng * dlng, 4) AS dist2,
+        |  round(6371.0 * 2.0 * asin(sqrt(
+        |    pow(sin(radians(dlat) / 2), 2)
+        |      + cos(radians(plat)) * cos(radians(slat)) * pow(sin(radians(dlng) / 2), 2))), 2) AS hav_km,
+        |  CAST(CASE WHEN dlat * dlat + dlng * dlng < 0.01 THEN 2.5
+        |       WHEN dlat * dlat + dlng * dlng < 0.09 THEN 2.0 ELSE 1.0 END AS DOUBLE) AS tier
+        |FROM j WHERE dlat * dlat + dlng * dlng <= 0.25""".stripMargin,
+    "q35_areaset_ops" ->
+      """WITH sets AS (
+        |  SELECT n_name || '|' || r_name AS area_set,
+        |    CAST(min(n_nationkey) AS BIGINT) AS set_id,
+        |    min(n_name) AS country, min(r_name) AS top_area
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1)
+        |SELECT s.set_id, s.area_set, s.country, s.top_area, count(*) AS n_customers
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN sets s ON s.area_set = n.n_name || '|' || r.r_name
+        |GROUP BY 1, 2, 3, 4""".stripMargin
+  )
+}

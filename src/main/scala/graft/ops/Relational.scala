@@ -60,13 +60,15 @@ object Relational {
       .select(col("o_orderkey"), (col("rn") > 1).as("is_duplicate"))
   }
 
-  /** §2.2 F1/F2 blacklist analogue: anti join (customers with no orders),
-    * counted per nation. */
+  /** §2.2 F1/F2 blacklist analogue: anti join (customers with no URGENT
+    * orders — the priority filter keeps the result non-empty at every sf,
+    * so the oracle compare has actual rows to verify), counted per nation. */
   def q05AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = load(spark, dir, "orders")
     val c = load(spark, dir, "customer")
     val n = load(spark, dir, "nation")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    c.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+        c("c_custkey") === o("o_custkey"), "left_anti")
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_customers_no_orders"))
@@ -127,7 +129,8 @@ object Relational {
     "q05_anti_join" ->
       """SELECT n_name, count(*) AS n_customers_no_orders
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
     "q06_events_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,

@@ -18,11 +18,11 @@ class EntrySpec extends AnyFunSuite {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
-  test("all queries run non-empty on sf0.001 except anti-join") {
+  test("all queries run non-empty on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
-      if (name != "q05_anti_join") assert(n > 0, s"$name returned 0 rows")
+      assert(n > 0, s"$name returned 0 rows")
     }
   }
 }
