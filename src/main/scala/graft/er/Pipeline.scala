@@ -185,7 +185,10 @@ object Pipeline {
 
     val pairs = trigramPairs.unionByName(phonPairs).dropDuplicates("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nPairs = if (cfg.collectStats) pairs.count() else -1L
+    // always materialize here: keyed/freq feed the pair DAG twice each, so
+    // they must still be cached when it first computes (collectStats only
+    // gates the *extra* stats aggregation above)
+    val nPairs = pairs.count()
     keyed.unpersist()
     freq.unpersist()
 

@@ -221,9 +221,12 @@ object ExprKernels {
       houseNumber = houseNumber, road = road, postcode = postcode,
       city = city, country = country, countryCode = countryCode))
 
-  /** Returns NaN when undefined (length mismatch / zero norm). */
-  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
-      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+  /** Returns NaN when undefined (length mismatch / zero norm).
+    * aFloat/bFloat: element type of each side (float arrays read straight
+    * from parquet stay primitive UnsafeArrayData — no cast projection, no
+    * boxing; values are promoted to double exactly like a CAST). */
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
     val n = a.numElements()
     if (n != b.numElements() || n == 0) return Double.NaN
     var dot = 0.0
@@ -231,8 +234,8 @@ object ExprKernels {
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -240,6 +243,27 @@ object ExprKernels {
     }
     if (na == 0.0 || nb == 0.0) return Double.NaN
     dot / math.sqrt(na * nb)
+  }
+
+  /** Distinct space-free character trigrams in one pass (the string-typed
+    * sibling of TrigramKeys; used where the output must be the gram text).
+    * O(n) — the `transform(sequence, substr)` formulation is O(n²) on long
+    * documents because UTF8String.substring re-scans from the start. */
+  def trigramStrings(s: String): Array[UTF8String] = {
+    val n = s.length
+    if (n < 3) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= n - 3) {
+      if (s.charAt(i) != ' ' && s.charAt(i + 1) != ' ' && s.charAt(i + 2) != ' ')
+        seen.add(s.substring(i, i + 3))
+      i += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    out
   }
 }
 
@@ -268,25 +292,30 @@ case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = children.forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim requires array<double> arguments")
+      s"cosine_sim requires array<double> or array<float> arguments")
   }
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val v = ExprKernels.cosine(a, b)
+    val v = ExprKernels.cosine(a, isFloat(left), b, isFloat(right))
     if (v.isNaN) null else v
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
       s"""
-         |double graft_cos = graft.functions.ExprKernels.cosine($l, $r);
+         |double graft_cos = graft.functions.ExprKernels.cosine(
+         |  $l, ${isFloat(left)}, $r, ${isFloat(right)});
          |if (Double.isNaN(graft_cos)) {
          |  ${ev.isNull} = true;
          |} else {
@@ -297,6 +326,25 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** Distinct space-free character trigram strings — one pass, O(n).
+  * String → Array[String]. The blocking-key sibling returning the gram
+  * *text* (TrigramKeys returns packed ints). */
+case class TrigramStrings(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ExprKernels.trigramStrings(input.asInstanceOf[UTF8String].toString)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.functions.ExprKernels.trigramStrings($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): TrigramStrings =
+    copy(child = newChild)
+  override def prettyName: String = "trigram_strings"
 }
 
 /** Per-country address formatting (reference formatter.cc:87-159, X14).

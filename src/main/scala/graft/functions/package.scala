@@ -21,6 +21,9 @@ package object functions {
   /** distinct space-free byte trigrams packed to 24-bit ints. */
   def trigram_keys(c: Column): Column = col(TrigramKeys(ex(c)))
 
+  /** distinct space-free character trigram strings (one pass, O(n)). */
+  def trigram_strings(c: Column): Column = col(TrigramStrings(ex(c)))
+
   /** distinct space-skipping byte bigrams packed to u16 ints. */
   def bigram_keys(c: Column): Column = col(BigramKeys(ex(c)))
 
@@ -58,6 +61,7 @@ package object functions {
     reg.createOrReplaceTempFunction("normalize_text", es => NormalizeText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("normalize_raw", es => NormalizeRaw(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("trigram_keys", es => TrigramKeys(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("trigram_strings", es => TrigramStrings(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bigram_keys", es => BigramKeys(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sift4", es => Sift4Dist(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("bounded_levenshtein", es => BoundedLevenshtein(es(0), es(1)), "scala_udf")

@@ -45,10 +45,15 @@ object Dedup {
       .withColumn("band", floor(col("h") / 2))
     val bands = sig.groupBy(col("doc_id"), col("band"))
       .agg(concat_ws("|", min(col("minhash")), max(col("minhash"))).as("band_sig"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    // block expansion instead of a self-join: the signature subtree (full
+    // shingle + md5×8 pipeline) is computed ONCE, buckets become member
+    // lists, pairs explode map-side (bucket sizes are tiny by design)
+    bands.groupBy(col("band"), col("band_sig"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("src"), col("ids"))
+      .select(col("src"), explode(col("ids")).as("dst"))
+      .filter(col("src") < col("dst"))
       .distinct()
   }
 
@@ -84,10 +89,20 @@ object Dedup {
           element_at(col("tokens"), i),
           element_at(col("tokens"), i + 1),
           element_at(col("tokens"), i + 2))))).as("shingle"))
-    val withN = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val keyed = d.join(withN, Seq("doc_id"))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    // One pass over documents: per-doc distinct shingle arrays hashed to
+    // 64 bits (same pairs — collision odds ~1e-8 at this cardinality —
+    // fixed-width shuffle keys), then block expansion per shingle hash
+    // instead of a self-join, so the shingle subtree isn't recomputed.
+    val perDoc = d.groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    val blocks = perDoc.groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    blocks
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("shared"))
@@ -101,8 +116,7 @@ object Dedup {
     * expression (threshold for the synthetic embedding distribution). */
   def q25EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v")) // primitive float arrays
     val a = e.select(col("vec_id").as("src"), col("v").as("va"))
     val b = e.select(col("vec_id").as("dst"), col("v").as("vb"))
     a.crossJoin(b).filter(col("src") < col("dst"))

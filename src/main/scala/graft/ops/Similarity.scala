@@ -13,8 +13,11 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
   import Tables.load
 
+  /** Keep the parquet float arrays primitive (UnsafeArrayData) — CosineSim
+    * promotes float→double per element exactly like a CAST, without the
+    * boxing `transform` projection. */
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    df.select(col("vec_id"), col("embedding").as("v"))
 
   private def cosine(va: Column, vb: Column): Column =
     graft.functions.cosine_sim(va, vb)
