@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions onto a live
+    * registry (`registerFunctions` is private[sql]); lets tests exercise
+    * the GraftExtensions injection without building a fresh SparkContext. */
+  def applyFunctionExtensions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(reg)
 }

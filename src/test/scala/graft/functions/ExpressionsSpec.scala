@@ -110,6 +110,57 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("trigram_strings matches the built-in formulation and is distinct/space-free") {
+    import spark.implicits._
+    val docs = samples.filter(_ != null) ++ Seq("ab cd ef gh", "aaaa", "  ")
+    val df = docs.toDF("s")
+    val got = df.select($"s", gf.trigram_strings($"s").as("t")).collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      val expected = (0 to s.length - 3)
+        .map(i => s.substring(i, i + 3)).filterNot(_.contains(' ')).distinct
+      assert(r.getSeq[String](1) == expected, s"input '$s'")
+    }
+  }
+
+  test("cosine_sim: float arrays equal double arrays, null on mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0, 2.0, 1.0)),
+      (Array(0.5f, -0.25f), Array(0.5, -0.25)),
+      (Array(0.0f, 0.0f), Array(1.0, 1.0))
+    ).toDF("f", "d")
+    val rows = df.select(
+      gf.cosine_sim($"f", $"d").as("fd"),
+      gf.cosine_sim($"d", $"d").as("dd"),
+      gf.cosine_sim(transform($"f", x => x.cast("double")), $"d").as("cast_fd")).collect()
+    // float side promoted exactly like CAST: identical to the cast variant
+    assert(rows(0).getDouble(0) == rows(0).getDouble(2))
+    assert(rows(1).getDouble(0) == 1.0 && rows(1).getDouble(1) == 1.0)
+    assert(rows(2).isNullAt(0)) // zero-norm side → NULL
+    val mism = Seq((Array(1.0f), Array(1.0, 2.0))).toDF("f", "d")
+      .select(gf.cosine_sim($"f", $"d")).collect()
+    assert(mism(0).isNullAt(0)) // length mismatch → NULL
+  }
+
+  test("GraftExtensions injects SQL functions") {
+    // extensions resolve from the SparkContext static conf at session
+    // build, which a shared-context test can't exercise; apply the
+    // injection onto the live registry instead (same code path
+    // spark-submit --conf spark.sql.extensions=graft.GraftExtensions hits)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions()(ext)
+    org.apache.spark.sql.graft.Bridge.applyFunctionExtensions(
+      ext, spark.sessionState.functionRegistry)
+    val r = spark.sql(
+      "SELECT jaro_winkler('darmstadt','damrstadt') AS jw, " +
+        "trigram_strings('linden bach') AS t, " +
+        "format_address('17','Rue X','31000','Toulouse','France','FR') AS f").collect()(0)
+    assert(r.getDouble(0) > 0.9)
+    assert(r.getSeq[String](1).head == "lin")
+    assert(r.getString(2) == "17 Rue X, 31000 Toulouse, France")
+  }
+
   test("codegen: expressions run inside WholeStageCodegen") {
     import spark.implicits._
     val df = spark.range(100)
