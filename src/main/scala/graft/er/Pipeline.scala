@@ -2,6 +2,7 @@ package graft.er
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
 import org.apache.spark.storage.StorageLevel
 import graft.{functions => gf}
 
@@ -44,6 +45,8 @@ object Pipeline {
       jwThreshold: Double = 0.96,
       levMaxPerBytes: Double = 1.0 / 12.0, // allowed edits per byte of min length
       levMaxCap: Int = 2, // corruption model allows <=1 typo edit per side
+      // skew: salt buckets for the membership-expand join (hot string_ids)
+      saltBuckets: Int = 8,
       // clustering
       maxIterations: Int = 20,
       workDir: String = "/tmp/graft_er",
@@ -294,20 +297,45 @@ object Pipeline {
     var iter = startIter
     var converged = false
     while (!converged && iter < cfg.maxIterations) {
-      val nbrMin = und
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "b_label"), Seq("b"))
-        .groupBy($"a".as("id"))
-        .agg(min($"b_label").as("nbr_label"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select($"id",
-          least($"label", coalesce($"nbr_label", $"label")).as("label"),
-          ($"nbr_label".isNotNull && $"nbr_label" < $"label").as("changed"))
+      // two min-label propagation steps per checkpoint round: each round
+      // has a fixed scheduling + checkpoint-IO cost that dwarfs the joins
+      // themselves on the (interned) string graph, so advancing the
+      // frontier twice per round halves the fixed overhead per unit of
+      // progress; `changed` ORs across the two steps so convergence
+      // (zero changes in a full round) is still exact.
+      def propagate(l: DataFrame): DataFrame = {
+        val nbrMin = und
+          .join(l.select($"id".as("b"), $"label".as("b_label")), Seq("b"))
+          .groupBy($"a".as("id"))
+          .agg(min($"b_label").as("nbr_label"))
+        l.join(nbrMin, Seq("id"), "left")
+          .select($"id",
+            least($"label", coalesce($"nbr_label", $"label")).as("label"),
+            (($"nbr_label".isNotNull && $"nbr_label" < $"label") ||
+              coalesce($"changed", lit(false))).as("changed"))
+      }
+      val prop = propagate(propagate(labels.withColumn("changed", lit(false))))
+      // ...then, from round 3 on, one pointer-jumping step (label :=
+      // label(label)): halves the remaining chain depth per round, so a
+      // pathological chain converges in ~3 + log(depth) rounds instead of
+      // depth rounds. The common ER graph (star-shaped variant clusters)
+      // converges in ≤3 plain rounds, so early rounds skip the extra
+      // self-join shuffle. Convergence is checked on the PROPAGATION step
+      // alone: zero propagation changes ⇒ labels are edge-constant ⇒
+      // component-min everywhere (jumping only accelerates, never undoes).
+      val next =
+        if (iter < 3) prop
+        else prop.as("x")
+          .join(prop.select($"id".as("label"), $"label".as("jump")).as("y"),
+            Seq("label"), "left")
+          .select($"id",
+            least($"label", coalesce($"jump", $"label")).as("label"),
+            $"changed")
 
       next.write.mode(SaveMode.Overwrite).parquet(labelPath(iter)) // checkpoint: cuts lineage
       val checked = spark.read.parquet(labelPath(iter))
-      // one scan: per-partition lineage metrics, collected to the driver
-      // (tiny), then summed and persisted as a single-task write
+      // one scan: per-partition lineage metrics collected to the driver
+      // (tiny) — the convergence check and the metrics share the job
       val perPartition = checked
         .groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("rows"),
@@ -316,11 +344,14 @@ object Pipeline {
       val changes = perPartition.map(_.getLong(2)).sum
       val rows = perPartition.map(_.getLong(1)).sum
       metrics += IterationMetrics(iter, changes, rows, perPartition.length)
-      import spark.implicits._
-      perPartition.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), iter)).toSeq
-        .toDF("partition_id", "rows", "changed", "iteration")
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/label_metrics_iter_$iter")
+      // per-partition lineage metrics as JSON lines via NIO — durable per
+      // iteration (resumable) without spinning a Spark job for a 32-row
+      // write (was ~0.5 s/iteration of pure scheduling overhead)
+      val metricsJson = perPartition.sortBy(_.getInt(0)).map(r =>
+        s"""{"iteration":$iter,"partition_id":${r.getInt(0)},""" +
+          s""""rows":${r.getLong(1)},"changed":${r.getLong(2)}}""").mkString("", "\n", "\n")
+      Files.writeString(
+        Paths.get(s"${cfg.workDir}/label_metrics_iter_$iter.jsonl"), metricsJson)
 
       labels = checked.select($"id", $"label")
       converged = changes == 0L
@@ -427,8 +458,23 @@ object Pipeline {
     // through the membership table.
     val (stringLabels, metrics) = timed("cluster")(cluster(
       strings.select($"string_id"), accepted, cfg))
-    val labels = membership
-      .join(stringLabels.withColumnRenamed("id", "string_id"), Seq("string_id"))
+    // Expand string labels to mentions with an EXPLICITLY SALTED join:
+    // membership is Zipf-skewed on string_id (a hot surface form carries
+    // millions of mentions on a single key at corpus scale, all hashed to
+    // one shuffle partition). Salting the big side and replicating the
+    // small side `saltBuckets`× makes the plan skew-free by construction
+    // at any scale (AQE's skew-join split only rescues sort-merge joins
+    // after the fact). Salt = hash(mention_id) — deterministic, so the
+    // output stays partition-count invariant.
+    val g = cfg.saltBuckets
+    val saltedMembership = membership
+      .withColumn("salt", pmod(xxhash64($"mention_id"), lit(g)).cast("int"))
+    val replicatedLabels = stringLabels
+      .withColumnRenamed("id", "string_id")
+      .select($"string_id", $"label",
+        explode(transform(sequence(lit(0), lit(g - 1)), x => x.cast("int"))).as("salt"))
+    val labels = saltedMembership
+      .join(replicatedLabels, Seq("string_id", "salt"))
       .select($"mention_id".as("id"), $"label")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nClusters = timed("expand") {

@@ -40,6 +40,37 @@ object StreamOps {
       }
   }
 
+  final case class InternedMention(mention_id: Long, string_id: Long, is_new_string: Boolean)
+
+  /** Streaming incremental string interning — the ingest-side analogue of
+    * the batch `er.Pipeline.internStrings` (reference get_or_create_string,
+    * typeahead.cc:300-306): a stream of mentions grouped by canonical
+    * match key assigns the key's string id on first sight (min mention_id
+    * of the first micro-batch that carries it) and keeps it stable in
+    * GroupState forever after — the get_or_create upsert semantics —
+    * emitting (mention_id, string_id, is_new_string) per arriving mention.
+    * At cluster scale the state store shards by key — the same
+    * partitioning story as the batch groupBy. Equals the batch
+    * internStrings membership whenever a key's minimal mention arrives in
+    * its first batch (asserted in StreamingSpec).
+    */
+  def incrementalIntern(spark: SparkSession, mentions: DataFrame): Dataset[InternedMention] = {
+    import spark.implicits._
+    mentions.select(col("match_key").cast("string"), col("mention_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, InternedMention](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val batch = rows.map(_._2).toVector
+          val prior = state.getOption
+          val sid = prior.getOrElse(batch.min) // assign once, stable forever
+          state.update(sid)
+          // is_new_string marks exactly the mention that created the id
+          batch.iterator.map(m => InternedMention(m, sid, prior.isEmpty && m == sid))
+      }
+  }
+
   /** Run a streaming DataFrame from a parquet-backed file stream to a
     * memory sink synchronously; returns the sink table name. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -44,6 +44,31 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed result missing closed windows: ${diff.count()}")
   }
 
+  test("streaming incremental interning equals batch internStrings") {
+    // stage a small synthetic page corpus as a file stream
+    val pages = graft.er.Corpus.pages(spark, 300, 60, 42L).toDF()
+    val mentions = graft.er.Pipeline.extractMentions(pages)
+      .select($"mention_id", $"match_key")
+    val d = new java.io.File("/tmp/graft_stream_mentions")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    mentions.coalesce(1).write.parquet(d.getPath)
+
+    val schema = spark.read.parquet(d.getPath).schema
+    val stream = spark.readStream.schema(schema).parquet(d.getPath)
+    StreamOps.runToMemory(spark,
+      StreamOps.incrementalIntern(spark, stream).toDF(), "intern_out", OutputMode.Append())
+    val streamed = spark.table("intern_out")
+      .select($"mention_id", $"string_id")
+
+    val (_, membership) = graft.er.Pipeline.internStrings(
+      spark.read.parquet(d.getPath))
+    val batch = membership.select($"mention_id", $"string_id")
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+    // exactly one is_new_string per distinct key
+    val newCount = spark.table("intern_out").filter($"is_new_string").count()
+    assert(newCount == batch.select($"string_id").distinct().count())
+  }
+
   test("stateful mapGroupsWithState user counts equal batch groupBy") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
