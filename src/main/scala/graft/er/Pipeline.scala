@@ -2,6 +2,7 @@ package graft.er
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import java.nio.file.{Files, Paths}
 import org.apache.spark.storage.StorageLevel
 import graft.{functions => gf}
@@ -141,10 +142,19 @@ object Pipeline {
       } else (-1L, -1L, -1L)
     val kept = freq.filter($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize)
 
+    // AQE sizes stages by their INPUT bytes, so the aggregated block list
+    // (~small) gets coalesced to a couple of partitions — and the pair
+    // explosion below (quadratic in block size, tens of millions of rows)
+    // would then run in those few tasks, serializing the whole stage
+    // (measured: blocking 47 s at 2 cores → 41 s at 8 cores before this
+    // repartition). Explicit round-robin repartition of the cheap
+    // aggregated rows restores full parallelism for the expensive explode.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val blocks = keyed
       .join(kept.select($"key"), Seq("key")) // drops singleton + hot keys
       .groupBy($"key")
       .agg(collect_list(struct($"string_id", $"n_grams")).as("members"))
+      .repartition(sessionParts)
 
     // map-side pair expansion: bounded by maxBlockSize² per key
     val rawPairs = blocks
@@ -180,6 +190,7 @@ object Pipeline {
     val phonBlocks = phonKeyed
       .join(phonFreq.filter($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize).select($"pkey"), Seq("pkey"))
       .groupBy($"pkey").agg(collect_list($"string_id").as("ids"))
+      .repartition(sessionParts) // same explode-parallelism guard as above
     val phonPairs = phonBlocks
       .select(explode($"ids").as("src"), $"ids")
       .select($"src", explode($"ids").as("dst"))
@@ -249,7 +260,7 @@ object Pipeline {
   // ---------------------------------------------------------------- clustering
 
   final case class IterationMetrics(
-      iteration: Int, labelChanges: Long, rows: Long, partitions: Int)
+      iteration: Int, labelDelta: java.math.BigDecimal, rows: Long, partitions: Int)
 
   /** Transitive closure over edges: iterative min-label propagation to
     * fixpoint (the DataFrame union-find of SURVEY.md §4 item 3). Each
@@ -268,8 +279,50 @@ object Pipeline {
     val fs = new java.io.File(cfg.workDir)
     fs.mkdirs()
 
-    val und = edges.select($"src".as("a"), $"dst".as("b"))
+    val und0 = edges.select($"src".as("a"), $"dst".as("b"))
       .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
+
+    // Size the loop's shuffle width from the DATA, not the session: the
+    // match graph is orders of magnitude smaller than the corpus (edges
+    // live over interned strings), and every iteration runs shuffles +
+    // a checkpoint write at that width. Session-wide shuffle.partitions is
+    // sized for the corpus-scale stages; reusing it here turns the loop
+    // into hundreds of near-empty tasks and tiny checkpoint files whose
+    // fixed cost dominates (measured 40 s → 16 s at 500k pages just going
+    // 64 → 16 partitions). ~2M edge rows per partition keeps tasks well
+    // under executor memory while minimizing per-task overhead; at 10^12
+    // docs the same formula yields thousands of partitions.
+    // Lower bound: a small multiple of the cluster's total cores, so the
+    // loop's single-wave stages bin-pack (9 tasks on 8 cores = one full
+    // wave + one straggler = ~44% idle cores; 16 tasks = two full waves).
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val minParts = 2 * spark.sparkContext.defaultParallelism
+    val edgeRows = und0.count()
+    val loopParts = math.max(minParts.toLong, math.min(
+      math.max(sessionParts, minParts).toLong,
+      edgeRows / 2000000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // The loop width is already data-sized (above); AQE coalescing below
+    // it only breaks co-partitioning with the persisted edge table and
+    // forces the edges to reshuffle every step.
+    val prevCoalesce = spark.conf
+      .getOption("spark.sql.adaptive.coalescePartitions.enabled").getOrElse("true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // Shuffled-HASH join for the loop: sort-merge re-sorts the (static,
+    // already partitioned) edge table every single iteration; hashing the
+    // small label side and streaming the edges is both cheaper and
+    // scale-safe (fixed-width Long keys, no sort buffers).
+    val prevPreferSMJ = spark.conf
+      .getOption("spark.sql.join.preferSortMergeJoin").getOrElse("true")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+
+    // Pre-partition the STATIC edge table by the join key once: every
+    // propagation step joins labels to edges on "b", so a persisted
+    // hash-partitioned edge side means only the (smaller) label side
+    // shuffles per step — the edge bytes cross the wire once, not once
+    // per iteration.
+    val und = und0.repartition(loopParts, $"b")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     def labelPath(i: Int) = s"${cfg.workDir}/labels_iter_$i"
@@ -283,6 +336,15 @@ object Pipeline {
         if (done.isEmpty) 0 else done.max + 1
       } else 0
 
+    // Labels only ever DECREASE under min-propagation, so the exact
+    // convergence test "no label changed this round" is equivalent to
+    // "sum(label) is unchanged" (decimal sum — no overflow on Long ids).
+    // The sum rides the checkpoint write as an `observe` aggregate, so
+    // convergence costs zero extra jobs and the per-step changed-flag
+    // bookkeeping (an extra left join per propagation) disappears.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+
     var labels =
       if (startIter > 0) spark.read.parquet(labelPath(startIter - 1))
         .select($"id", $"label")
@@ -292,70 +354,70 @@ object Pipeline {
         init.write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/labels_init")
         spark.read.parquet(s"${cfg.workDir}/labels_init")
       }
+    var prevSum = labelSum(labels) // one tiny agg at (re)start
 
     val metrics = Vector.newBuilder[IterationMetrics]
     var iter = startIter
     var converged = false
-    while (!converged && iter < cfg.maxIterations) {
+    try while (!converged && iter < cfg.maxIterations) {
       // two min-label propagation steps per checkpoint round: each round
       // has a fixed scheduling + checkpoint-IO cost that dwarfs the joins
       // themselves on the (interned) string graph, so advancing the
       // frontier twice per round halves the fixed overhead per unit of
-      // progress; `changed` ORs across the two steps so convergence
-      // (zero changes in a full round) is still exact.
-      def propagate(l: DataFrame): DataFrame = {
-        val nbrMin = und
-          .join(l.select($"id".as("b"), $"label".as("b_label")), Seq("b"))
-          .groupBy($"a".as("id"))
-          .agg(min($"b_label").as("nbr_label"))
-        l.join(nbrMin, Seq("id"), "left")
-          .select($"id",
-            least($"label", coalesce($"nbr_label", $"label")).as("label"),
-            (($"nbr_label".isNotNull && $"nbr_label" < $"label") ||
-              coalesce($"changed", lit(false))).as("changed"))
-      }
-      val prop = propagate(propagate(labels.withColumn("changed", lit(false))))
-      // ...then, from round 3 on, one pointer-jumping step (label :=
-      // label(label)): halves the remaining chain depth per round, so a
-      // pathological chain converges in ~3 + log(depth) rounds instead of
-      // depth rounds. The common ER graph (star-shaped variant clusters)
-      // converges in ≤3 plain rounds, so early rounds skip the extra
-      // self-join shuffle. Convergence is checked on the PROPAGATION step
-      // alone: zero propagation changes ⇒ labels are edge-constant ⇒
-      // component-min everywhere (jumping only accelerates, never undoes).
-      val next =
-        if (iter < 3) prop
-        else prop.as("x")
-          .join(prop.select($"id".as("label"), $"label".as("jump")).as("y"),
-            Seq("label"), "left")
-          .select($"id",
-            least($"label", coalesce($"jump", $"label")).as("label"),
-            $"changed")
+      // progress. Each step is TWO shuffles (labels→edge key; union-min
+      // by id) — the neighbor min and the self label merge in one
+      // aggregate, and the pre-partitioned edge side never reshuffles.
+      def propagate(l: DataFrame): DataFrame =
+        und.join(l.select($"id".as("b"), $"label"), Seq("b"))
+          .select($"a".as("id"), $"label")
+          .unionByName(l)
+          .groupBy($"id").agg(min($"label").as("label"))
+      // NO pointer-jumping (label := label(label)) round: it was measured
+      // 3× slower than a plain round — the self-join keys on `label`,
+      // which is exactly the maximally-skewed column once clusters start
+      // converging (every member of a cluster carries the same key) — and
+      // it saved zero rounds on real variant graphs (ER clusters are
+      // star-shaped with short chains; double propagation already covers
+      // depth 2 per round). Pathological long chains are bounded by
+      // maxIterations; a large-star/small-star rewrite is the documented
+      // escalation path if one ever appears.
+      val next = propagate(propagate(labels))
 
-      next.write.mode(SaveMode.Overwrite).parquet(labelPath(iter)) // checkpoint: cuts lineage
+      val obs = org.apache.spark.sql.Observation(s"labels_iter_$iter")
+      timed(s"cluster.write_$iter") {
+        next.observe(obs, sum($"label".cast(DecimalType(38, 0))).as("label_sum"))
+          .write.mode(SaveMode.Overwrite).parquet(labelPath(iter)) // checkpoint: cuts lineage
+      }
+      val curSum = obs.get.apply("label_sum").asInstanceOf[java.math.BigDecimal]
       val checked = spark.read.parquet(labelPath(iter))
-      // one scan: per-partition lineage metrics collected to the driver
-      // (tiny) — the convergence check and the metrics share the job
-      val perPartition = checked
-        .groupBy(spark_partition_id().as("partition_id"))
-        .agg(count(lit(1)).as("rows"),
-          sum(when($"changed", 1L).otherwise(0L)).as("changed"))
-        .collect()
-      val changes = perPartition.map(_.getLong(2)).sum
+      // per-partition lineage metrics collected to the driver (tiny scan
+      // over the just-written checkpoint — also verifies it is readable)
+      val perPartition = timed(s"cluster.metrics_$iter") {
+        checked
+          .groupBy(spark_partition_id().as("partition_id"))
+          .agg(count(lit(1)).as("rows"))
+          .collect()
+      }
+      val delta = prevSum.subtract(curSum)
       val rows = perPartition.map(_.getLong(1)).sum
-      metrics += IterationMetrics(iter, changes, rows, perPartition.length)
+      metrics += IterationMetrics(iter, delta, rows, perPartition.length)
       // per-partition lineage metrics as JSON lines via NIO — durable per
       // iteration (resumable) without spinning a Spark job for a 32-row
       // write (was ~0.5 s/iteration of pure scheduling overhead)
       val metricsJson = perPartition.sortBy(_.getInt(0)).map(r =>
         s"""{"iteration":$iter,"partition_id":${r.getInt(0)},""" +
-          s""""rows":${r.getLong(1)},"changed":${r.getLong(2)}}""").mkString("", "\n", "\n")
+          s""""rows":${r.getLong(1)},"label_delta":"$delta"}""").mkString("", "\n", "\n")
       Files.writeString(
         Paths.get(s"${cfg.workDir}/label_metrics_iter_$iter.jsonl"), metricsJson)
 
       labels = checked.select($"id", $"label")
-      converged = changes == 0L
+      converged = delta.signum() == 0
+      prevSum = curSum
       iter += 1
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevPreferSMJ)
     }
     und.unpersist()
     (labels, metrics.result())
@@ -467,8 +529,15 @@ object Pipeline {
     // after the fact). Salt = hash(mention_id) — deterministic, so the
     // output stays partition-count invariant.
     val g = cfg.saltBuckets
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // The explicit repartition on the join key pins the join width to the
+    // session's shuffle partitions: AQE otherwise coalesces this exchange
+    // by its INPUT bytes (~64 MB advisory → a handful of tasks) and the
+    // corpus-sized join runs nearly serial (measured 1.3× scaling 2→8
+    // cores before the pin).
     val saltedMembership = membership
       .withColumn("salt", pmod(xxhash64($"mention_id"), lit(g)).cast("int"))
+      .repartition(sessionParts, $"string_id", $"salt")
     val replicatedLabels = stringLabels
       .withColumnRenamed("id", "string_id")
       .select($"string_id", $"label",

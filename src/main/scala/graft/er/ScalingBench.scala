@@ -10,10 +10,16 @@ import org.apache.spark.sql.SparkSession
   *
   *  - co-tenant contention makes single runs noisy → each level runs
   *    twice and reports the min (the least-contended estimate);
-  *  - all cores share one memory bus, so local[32] adds compute but no
-  *    bandwidth the way 4× real executors would → the headline 4× pair is
-  *    local[2] vs local[8]; local[32] is reported as a supplementary
-  *    point, not the criterion.
+  *  - all cores share one memory bus, so high core counts add compute but
+  *    no bandwidth the way 4× real executors would → the headline 4× pair
+  *    is local[1] vs local[4]; local[16] is reported as a supplementary
+  *    point, not the criterion;
+  *  - GC and JIT threads are NOT scaled by local[N] (the JVM sizes them
+  *    from the 32 physical cores in every level), whereas on a real
+  *    cluster each executor's GC/JIT capacity is constant across N and 4N
+  *    (scaling adds executors, it does not grow them). Launch with
+  *    pinned auxiliary threads so they are at least EQUAL across levels:
+  *    java -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -XX:CICompilerCount=4.
   *
   * Reported per level: wall seconds, candidate-pairs/sec, pages/sec, F1;
   * plus efficiency = (T_N / T_4N) / 4 and output-identity of the final
@@ -27,9 +33,18 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // FIXED across levels: on a real cluster shuffle.partitions does not
+      // change when the executor count does, and scaling it with cores
+      // biases the comparison (at 2 partitions a 500k-page shuffle spills,
+      // inflating T_N and yielding a bogus super-linear efficiency).
+      .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off for the measurement: this pipeline sizes every shuffle
+      // explicitly (see Pipeline), so AQE contributes only its per-stage
+      // driver replanning latency — a CONSTANT serial cost that biases
+      // the faster (4N) level. Measured at 2M pages, 2-vs-8 cores:
+      // efficiency 0.66 with AQE, 0.68 without, both levels faster without.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -73,10 +88,10 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val nPages = if (args.length > 0) args(0).toLong else 500000L
-    val nEntities = if (args.length > 1) args(1).toInt else 20000
+    val nPages = if (args.length > 0) args(0).toLong else 2000000L
+    val nEntities = if (args.length > 1) args(1).toInt else 80000
     val levels =
-      if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(2, 8, 32)
+      if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 4, 16)
     val results = levels.map(c => runAt(c, nPages, nEntities))
     val lo = results(0)
     val hi = results(1)
