@@ -26,8 +26,7 @@ object SparkEntry {
     val mentions = er.Pipeline.extractMentions(pages)
     val (strings, membership) = er.Pipeline.internStrings(mentions)
     val (pairs, _) = er.Pipeline.candidatePairs(strings, cfg)
-    val accepted = er.Pipeline.scorePairs(pairs, strings, cfg)
-      .filter(col("accepted")).select(col("src"), col("dst"))
+    val accepted = er.Pipeline.matchEdges(pairs, strings, cfg)
     val edges = accepted.unionByName(
       membership.filter(col("mention_id") =!= col("string_id"))
         .select(col("string_id").as("src"), col("mention_id").as("dst")))

@@ -41,11 +41,25 @@ object Pipeline {
       nEntities: Int = 300,
       // blocking
       maxBlockSize: Int = 256,
+      // prefix filtering (MF-Join family): pair generation uses only each
+      // string's K globally-rarest trigrams — a 1-edit pair disturbs ≤4
+      // grams, so the rarest shared grams stay in both prefixes, while
+      // Zipf-hot grams stop generating quadratic blocks entirely
+      prefixKeys: Int = 6,
       // scoring accept rule (tuned on the synthetic corpus via TuneMain;
       // precision-first: one bad edge merges two whole clusters)
       jwThreshold: Double = 0.96,
       levMaxPerBytes: Double = 1.0 / 12.0, // allowed edits per byte of min length
-      levMaxCap: Int = 2, // corruption model allows <=1 typo edit per side
+      levMaxCap: Int = 2, // plain Levenshtein counts a transposition as 2
+      // SIFT4 counts a transposition as 1 (the reference scorer's
+      // property); budget 2 because canonicalization can amplify one user
+      // typo into two key edits (digraph fold: deleting 'f' in "haferring"
+      // creates "ae" which folds to "a" — a 2-edit key delta). Precision
+      // at 2 edits is recovered by the distance-first hub rule.
+      siftMaxEdits: Int = 2,
+      // hub rule: a low-frequency string may only link to a hub at least
+      // this many times more frequent (frequency prior, reference X9)
+      hubFreqRatio: Double = 2.0,
       // skew: salt buckets for the membership-expand join (hot string_ids)
       saltBuckets: Int = 8,
       // clustering
@@ -109,15 +123,21 @@ object Pipeline {
 
   // ---------------------------------------------------------------- blocking
 
-  /** distinct strings → candidate string pairs (src < dst), using the
-    * reference's count + cosine candidate filters (typeahead.cc:409-423).
+  /** distinct strings → candidate string pairs (src < dst).
     *
-    * Shape: explode trigram keys → key-frequency stats → drop singleton
-    * and over-hot keys (logged — they carry no discriminative signal;
-    * every non-stopword name substring still blocks) → per-key member
-    * lists bounded by maxBlockSize → map-side pair expansion → per-pair
-    * shared-key count (one shuffle on the pair) → count/cosine filter.
-    * Double-Metaphone phonetic keys union in (skipping the cosine filter).
+    * Prefix-filtered blocking (the size/prefix filters of the fuzzy-join
+    * literature — PAPERS.md MF-Join; the reference's analogue is the
+    * posting-count candidate cut, typeahead.cc:409-423): each string
+    * GENERATES pairs only from its `prefixKeys` globally-rarest trigrams.
+    * A 1-edit pair disturbs ≤4 of ~20 grams, so both sides keep their
+    * rarest shared grams in-prefix and the pair is still generated, while
+    * Zipf-hot grams (shared by thousands of strings — zero discriminative
+    * signal) stop producing quadratic blocks at all. Residual over-hot
+    * prefix blocks are capped at maxBlockSize with the dropped volume
+    * logged (the reference's kMaxMatches=6000 cap, typeahead.cc:428).
+    * Precision is NOT blocking's job here — every candidate pair goes
+    * through the codegen'd scalar gate + hub rule (scorePairs/matchEdges).
+    * Double-Metaphone phonetic keys union in as a second key family.
     */
   def candidatePairs(strings: DataFrame, cfg: Config): (DataFrame, BlockingStats) = {
     val spark = strings.sparkSession
@@ -130,53 +150,53 @@ object Pipeline {
     val keyed = m.select($"string_id", $"n_grams", explode($"tris").as("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freq = keyed.groupBy($"key").agg(count(lit(1)).as("cnt"))
+
+    // per-string prefix: the K globally-rarest grams with freq ≥ 2
+    // (deterministic order). Singleton grams are excluded BEFORE ranking:
+    // a freq-1 gram can never generate a pair, yet typo-created grams are
+    // exactly the globally-rarest ones — letting them occupy prefix slots
+    // crowds out the shared grams that actually recall the pair.
+    val prefixed = keyed
+      .join(freq.filter($"cnt" >= 2), Seq("key"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"string_id").orderBy($"cnt".asc, $"key".asc)))
+      .filter($"rnk" <= cfg.prefixKeys)
+      .select($"string_id", $"n_grams", $"key")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val pfreq = prefixed.groupBy($"key").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val (totalKeys, hotKeys, hotVolume) =
       if (cfg.collectStats) {
-        val agg = freq.agg(count(lit(1)).as("t"),
+        val agg = pfreq.agg(count(lit(1)).as("t"),
           coalesce(sum(when($"cnt" > cfg.maxBlockSize, 1L).otherwise(0L)), lit(0L)).as("k"),
           coalesce(sum(when($"cnt" > cfg.maxBlockSize, $"cnt").otherwise(0L)), lit(0L)).as("v"))
           .collect()(0)
         (agg.getLong(0), agg.getLong(1), agg.getLong(2))
       } else (-1L, -1L, -1L)
-    val kept = freq.filter($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize)
+    val kept = pfreq.filter($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize)
 
     // AQE sizes stages by their INPUT bytes, so the aggregated block list
     // (~small) gets coalesced to a couple of partitions — and the pair
-    // explosion below (quadratic in block size, tens of millions of rows)
-    // would then run in those few tasks, serializing the whole stage
-    // (measured: blocking 47 s at 2 cores → 41 s at 8 cores before this
-    // repartition). Explicit round-robin repartition of the cheap
-    // aggregated rows restores full parallelism for the expensive explode.
+    // explosion below (quadratic in block size) would then run in those
+    // few tasks, serializing the whole stage (measured: blocking 47 s at
+    // 2 cores → 41 s at 8 cores before this repartition). Explicit
+    // round-robin repartition of the cheap aggregated rows restores full
+    // parallelism for the expensive explode.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val blocks = keyed
-      .join(kept.select($"key"), Seq("key")) // drops singleton + hot keys
+    val blocks = prefixed
+      .join(kept.select($"key"), Seq("key")) // drops singleton + capped keys
       .groupBy($"key")
-      .agg(collect_list(struct($"string_id", $"n_grams")).as("members"))
+      .agg(collect_list($"string_id").as("members"))
       .repartition(sessionParts)
 
-    // map-side pair expansion: bounded by maxBlockSize² per key
-    val rawPairs = blocks
-      .select(explode($"members").as("a"), $"members")
-      .select($"a", explode($"members").as("b"))
-      .filter($"a.string_id" < $"b.string_id")
-      .select(
-        $"a.string_id".as("src"), $"b.string_id".as("dst"),
-        $"a.n_grams".as("src_n"), $"b.n_grams".as("dst_n"))
-
-    // shared distinct-trigram count per pair (A2), then A3 filters:
-    // shared >= min_match_count(min side) and shared² >= 0.17·nA·nB
-    val counted = rawPairs
-      .groupBy($"src", $"dst", $"src_n", $"dst_n")
-      .agg(count(lit(1)).as("shared"))
-    val minN = least($"src_n", $"dst_n").cast("int")
-    val mmc = lit(2) + floor(minN / (lit(4) + floor(minN / lit(10))))
-    val trigramPairs = counted
-      .filter($"shared" >= mmc.cast("long") &&
-        ($"shared" * $"shared").cast("double") >=
-          lit(graft.text.Ngrams.CosSimCutoff.toDouble) * $"src_n" * $"dst_n")
-      .select($"src", $"dst")
+    // map-side pair expansion: bounded by maxBlockSize² per key, ≤
+    // prefixKeys blocks per string
+    val trigramPairs = blocks
+      .select(explode($"members").as("src"), $"members")
+      .select($"src", explode($"members").as("dst"))
+      .filter($"src" < $"dst")
 
     // phonetic blocking: per-token Double Metaphone codes (len >= 3);
     // the scorer does the precision work on these coarse keys.
@@ -199,12 +219,13 @@ object Pipeline {
 
     val pairs = trigramPairs.unionByName(phonPairs).dropDuplicates("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // always materialize here: keyed/freq feed the pair DAG twice each, so
-    // they must still be cached when it first computes (collectStats only
-    // gates the *extra* stats aggregation above)
+    // always materialize here: the prefix/pfreq caches feed the pair DAG
+    // twice each, so they must still be cached when it first computes
+    // (collectStats only gates the *extra* stats aggregation above)
     val nPairs = pairs.count()
     keyed.unpersist()
-    freq.unpersist()
+    prefixed.unpersist()
+    pfreq.unpersist()
 
     val stats = BlockingStats(
       totalKeys = totalKeys,
@@ -217,11 +238,12 @@ object Pipeline {
 
   // ---------------------------------------------------------------- scoring
 
-  /** candidate string pairs → scored pairs with the accept decision.
+  /** candidate string pairs → scored pairs with the scalar accept gate.
     * Scores: Jaro-Winkler + banded Levenshtein + SIFT4 on the canonical
     * match keys (all codegen'd Catalyst expressions — no UDF dispatch).
-    * Accept: jw ≥ θ OR lev ≤ max(1, ⌈levMaxPerBytes · min byte length⌉)
-    * (lev==255 is the overflow sentinel and never accepts). */
+    * Accept: sift_cp ≤ siftMaxEdits ∧ lev_cp ≤ lev_max ∧ token-aligned
+    * gate — all codepoint-level (one typo = one edit on any script); final
+    * edge selection adds the frequency-prior hub rule — see matchEdges. */
   def scorePairs(pairs: DataFrame, strings: DataFrame, cfg: Config): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -232,8 +254,15 @@ object Pipeline {
       .join(keys.withColumnRenamed("string_id", "dst").withColumnRenamed("match_key", "dst_key"), Seq("dst"))
     withB
       .withColumn("jw", gf.jaro_winkler($"src_key", $"dst_key"))
-      .withColumn("lev", gf.bounded_levenshtein($"src_key", $"dst_key"))
-      .withColumn("sift", gf.sift4($"src_key", $"dst_key"))
+      // gate distances are CODEPOINT-level (sift4_cp + Spark's built-in
+      // levenshtein): one user typo = one edit on any script. Byte-level
+      // distances double-count multi-byte UTF-8 edits (a Cyrillic
+      // transposition = 4 byte edits), silently splitting every non-Latin
+      // cluster under a tight edit budget.
+      // (bounded form: -1 when the distance exceeds levMaxCap — banded DP,
+      // O(n·cap) instead of O(n²) on the pairwise hot path)
+      .withColumn("lev", levenshtein($"src_key", $"dst_key", cfg.levMaxCap))
+      .withColumn("sift", gf.sift4_cp($"src_key", $"dst_key"))
       .withColumn("min_len", least(length($"src_key"), length($"dst_key")))
       .withColumn("lev_max", greatest(lit(1),
         least(lit(cfg.levMaxCap), ceil($"min_len" * cfg.levMaxPerBytes))).cast("int"))
@@ -250,11 +279,71 @@ object Pipeline {
           forall(zip_with(ta, tb, (a, b) =>
             levenshtein(a, b) <= 2 || gf.jaro_winkler(a, b) >= 0.92), x => x))
       })
+      // Scalar accept: the edit-distance gate ONLY. The corruption model a
+      // correct matcher must absorb is "≤1 typo per surface" — SIFT4 ≤ 1
+      // (counts a transposition as one edit, like the reference scorer)
+      // with plain-Levenshtein ≤ 2 as the band check. Whole-string JW is
+      // deliberately NOT an accept path: on dense entity spaces it passes
+      // corrupted variants of *different* entities (jw up to 0.99
+      // measured) faster than it recovers true pairs. Precision beyond
+      // this gate comes from the frequency-prior hub rule (matchEdges).
       .withColumn("accepted",
-        ($"jw" >= cfg.jwThreshold ||
-          ($"lev" =!= graft.text.EditDistances.Overflow && $"lev" <= $"lev_max")) &&
+        $"sift" <= cfg.siftMaxEdits &&
+          ($"lev" >= 0 && $"lev" <= $"lev_max") &&
           $"tok_ok")
       .select($"src", $"dst", $"jw", $"lev", $"sift", $"min_len", $"tok_ok", $"accepted")
+  }
+
+  /** Scored pairs → accepted match edges via the frequency-prior HUB rule
+    * (the reference's population/category priors X8/X9, recast for ER):
+    * after interning, an entity's mention mass concentrates on one
+    * canonical surface form (case/punctuation/synonym/diacritic variants
+    * all collapse to the same match key), while typo variants are
+    * low-frequency satellites one edit away. So each low-frequency string
+    * links ONLY to its single best higher-frequency hub (top-1 by hub
+    * frequency) and never to a sibling satellite: satellite↔satellite
+    * edges across entities are exactly the false-positive class on dense
+    * entity spaces (two corrupted forms of different entities can land 1
+    * edit apart — no pairwise distance can separate that from a true
+    * pair; the frequency prior can). Transitivity through the hub still
+    * connects all same-entity satellites. */
+  def matchEdges(pairs: DataFrame, strings: DataFrame, cfg: Config): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val scored = scorePairs(pairs, strings, cfg).filter($"accepted")
+    val freqs = strings.select($"string_id", $"freq")
+    val withF = scored
+      .join(freqs.withColumnRenamed("string_id", "src").withColumnRenamed("freq", "src_freq"), Seq("src"))
+      .join(freqs.withColumnRenamed("string_id", "dst").withColumnRenamed("freq", "dst_freq"), Seq("dst"))
+    // orient each edge satellite→hub (ties in freq broken by id: no
+    // orientation is possible, and the ratio gate drops the edge anyway)
+    val oriented = withF.select(
+      when($"src_freq" < $"dst_freq" ||
+          ($"src_freq" === $"dst_freq" && $"src" > $"dst"),
+        struct($"src".as("low"), $"dst".as("high"),
+          $"src_freq".as("low_freq"), $"dst_freq".as("high_freq")))
+        .otherwise(
+          struct($"dst".as("low"), $"src".as("high"),
+            $"dst_freq".as("low_freq"), $"src_freq".as("high_freq"))).as("e"),
+      $"sift")
+      .select($"e.low", $"e.high", $"e.low_freq", $"e.high_freq", $"sift")
+    // top-1 hub per satellite, DISTANCE-first then frequency: with a
+    // 2-edit budget a satellite can sit 2 edits from its own canonical and
+    // (on dense entity spaces) 1–2 edits from a different entity's — the
+    // nearer hub is the right one; frequency only breaks distance ties.
+    // Eligible hubs: the frequency-ratio prior, OR any 1-edit neighbor —
+    // entities mentioned only a handful of times have no frequency signal
+    // (two freq-1 variants of a 2-mention entity), and by vocabulary
+    // separation a 1-edit key delta across *different* entities requires
+    // two independent typos to collide — the top-1 cap bounds the damage
+    // of that rare event to a single satellite's mentions.
+    oriented
+      .filter($"high_freq" >= lit(cfg.hubFreqRatio) * $"low_freq" || $"sift" <= 1)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"low").orderBy($"sift".asc, $"high_freq".desc, $"high".asc)))
+      .filter($"rnk" === 1)
+      .select($"low".as("src"), $"high".as("dst"))
   }
 
   // ---------------------------------------------------------------- clustering
@@ -346,13 +435,13 @@ object Pipeline {
       df.agg(sum($"label".cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
 
     var labels =
-      if (startIter > 0) spark.read.parquet(labelPath(startIter - 1))
+      if (startIter > 0) graft.ops.TableIO.read(spark, labelPath(startIter - 1))
         .select($"id", $"label")
       else {
         val init = vertices.select(col(vertices.columns.head).as("id"))
           .withColumn("label", $"id")
-        init.write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/labels_init")
-        spark.read.parquet(s"${cfg.workDir}/labels_init")
+        graft.ops.TableIO.write(init, s"${cfg.workDir}/labels_init")
+        graft.ops.TableIO.read(spark, s"${cfg.workDir}/labels_init")
       }
     var prevSum = labelSum(labels) // one tiny agg at (re)start
 
@@ -386,10 +475,11 @@ object Pipeline {
       val obs = org.apache.spark.sql.Observation(s"labels_iter_$iter")
       timed(s"cluster.write_$iter") {
         next.observe(obs, sum($"label".cast(DecimalType(38, 0))).as("label_sum"))
-          .write.mode(SaveMode.Overwrite).parquet(labelPath(iter)) // checkpoint: cuts lineage
+          .write.mode(SaveMode.Overwrite).format(graft.ops.TableIO.format)
+          .save(labelPath(iter)) // checkpoint: cuts lineage (Iceberg table when the runtime jar is present)
       }
       val curSum = obs.get.apply("label_sum").asInstanceOf[java.math.BigDecimal]
-      val checked = spark.read.parquet(labelPath(iter))
+      val checked = graft.ops.TableIO.read(spark, labelPath(iter))
       // per-partition lineage metrics collected to the driver (tiny scan
       // over the just-written checkpoint — also verifies it is readable)
       val perPartition = timed(s"cluster.metrics_$iter") {
@@ -509,8 +599,7 @@ object Pipeline {
     val nStrings = timed("intern")(if (cfg.collectStats) strings.count() else -1L)
 
     val (pairs, stats) = timed("blocking")(candidatePairs(strings, cfg))
-    val scored = scorePairs(pairs, strings, cfg)
-    val accepted = scored.filter($"accepted").select($"src", $"dst")
+    val accepted = matchEdges(pairs, strings, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nAccepted = timed("scoring")(if (cfg.collectStats) accepted.count() else -1L)
 

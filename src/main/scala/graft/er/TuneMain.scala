@@ -23,6 +23,7 @@ object TuneMain {
     import spark.implicits._
 
     val cfg = Pipeline.Config(nPages = nPages, nEntities = nEntities,
+      maxBlockSize = if (args.length > 2) args(2).toInt else 256,
       workDir = "/tmp/graft_tune")
     val pages = Corpus.pages(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
     val mentions = Pipeline.extractMentions(pages).cache()

@@ -112,6 +112,22 @@ case class Sift4Dist(left: Expression, right: Expression)
   override def prettyName: String = "sift4"
 }
 
+/** Codepoint-level SIFT4 (maxOffset=3, banded at min(len)/2+2): one user
+  * typo = one edit on any script — the ER accept-gate distance. The byte
+  * variant above keeps reference parity (sift4.h works on bytes).
+  * (String, String) → Int. */
+case class Sift4CpDist(left: Expression, right: Expression)
+    extends BinaryExpression with StringArgs {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.sift4Cp(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.ExprKernels.sift4Cp($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sift4CpDist =
+    copy(left = l, right = r)
+  override def prettyName: String = "sift4_cp"
+}
+
 /** Banded Levenshtein with the 255 overflow sentinel
   * (include/adr/score.h:15-57). (String, String) → Int. */
 case class BoundedLevenshtein(left: Expression, right: Expression)
@@ -196,6 +212,13 @@ object ExprKernels {
     val rb = r.getBytes
     val maxDist = math.min(lb.length, rb.length) / 2 + 2
     graft.text.Sift4.distBytes(lb, rb, 3, maxDist)
+  }
+
+  def sift4Cp(l: UTF8String, r: UTF8String): Int = {
+    val ls = l.toString
+    val rs = r.toString
+    val maxDist = math.min(ls.length, rs.length) / 2 + 2
+    graft.text.Sift4.distCodepoints(ls, rs, 3, maxDist)
   }
 
   def jaroWinkler(l: UTF8String, r: UTF8String): Double =

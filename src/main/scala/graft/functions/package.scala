@@ -30,6 +30,10 @@ package object functions {
   /** SIFT4 distance, maxOffset=3, band min(len)/2+2 (score.h:75-79). */
   def sift4(l: Column, r: Column): Column = col(Sift4Dist(ex(l), ex(r)))
 
+  /** codepoint-level SIFT4 (ER accept gate — one typo = one edit on any
+    * script; the byte variant keeps reference parity). */
+  def sift4_cp(l: Column, r: Column): Column = col(Sift4CpDist(ex(l), ex(r)))
+
   /** banded Levenshtein, 255 sentinel on overflow (score.h:15-57). */
   def bounded_levenshtein(l: Column, r: Column): Column =
     col(BoundedLevenshtein(ex(l), ex(r)))
@@ -64,6 +68,7 @@ package object functions {
     reg.createOrReplaceTempFunction("trigram_strings", es => TrigramStrings(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bigram_keys", es => BigramKeys(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sift4", es => Sift4Dist(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sift4_cp", es => Sift4CpDist(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("bounded_levenshtein", es => BoundedLevenshtein(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("ref_match_score", es => RefMatchScore(es(0), es(1)), "scala_udf")

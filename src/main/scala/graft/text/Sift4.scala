@@ -23,6 +23,26 @@ object Sift4 {
   }
 
   def distBytes(s1: Array[Byte], s2: Array[Byte], maxOffset: Int, maxDistance: Int): Int = {
+    val a = new Array[Int](s1.length)
+    var i = 0
+    while (i < s1.length) { a(i) = s1(i).toInt; i += 1 }
+    val b = new Array[Int](s2.length)
+    i = 0
+    while (i < s2.length) { b(i) = s2(i).toInt; i += 1 }
+    distGeneric(a, b, maxOffset, maxDistance)
+  }
+
+  /** Codepoint-level SIFT4: one *user* edit (typo) is one edit regardless
+    * of script — byte-level distance double-counts edits on multi-byte
+    * UTF-8 (a Cyrillic transposition is 4 byte edits but 1 typo). Used by
+    * the ER accept gate; the byte variant above keeps reference parity. */
+  def distCodepoints(s1: String, s2: String, maxOffset: Int, maxDistance: Int): Int = {
+    val a = s1.codePoints().limit(MaxLen).toArray
+    val b = s2.codePoints().limit(MaxLen).toArray
+    distGeneric(a, b, maxOffset, maxDistance)
+  }
+
+  def distGeneric(s1: Array[Int], s2: Array[Int], maxOffset: Int, maxDistance: Int): Int = {
     if (s1.length == 0) return s2.length
     if (s2.length == 0) return s1.length
 

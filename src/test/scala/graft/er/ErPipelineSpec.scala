@@ -74,8 +74,7 @@ class ErPipelineSpec extends AnyFunSuite {
     val mentions = Pipeline.extractMentions(pages).cache()
     val (strings, membership) = Pipeline.internStrings(mentions)
     val (pairs, _) = Pipeline.candidatePairs(strings, cfgBase)
-    val accepted = Pipeline.scorePairs(pairs, strings, cfgBase)
-      .filter($"accepted").select($"src", $"dst")
+    val accepted = Pipeline.matchEdges(pairs, strings, cfgBase)
     val edges = accepted.unionByName(
       membership.filter($"mention_id" =!= $"string_id")
         .select($"string_id".as("src"), $"mention_id".as("dst"))).cache()
