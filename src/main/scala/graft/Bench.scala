@@ -67,8 +67,8 @@ object Bench {
     val truth = er.Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
       .withColumn("mention_id", org.apache.spark.sql.functions.xxhash64(
         org.apache.spark.sql.functions.col("url"), org.apache.spark.sql.functions.col("seq")))
-    val universe = er.Pipeline.labeledPairUniverse(out.pairs, out.membership)
-    val erEval = er.Pipeline.evaluate(universe, truth, out.labels)
+    val erEval = er.Pipeline.evaluateWeighted(
+      out.pairs, out.strings, out.membership, truth, out.stringLabels)
     val er1 = er.Pipeline.RunResult(out.mentions, out.distinctStrings, out.stats,
       out.acceptedPairs, out.clusters, out.iterations, erEval)
     val pairsPerSec = er1.stats.candidatePairs / erSec

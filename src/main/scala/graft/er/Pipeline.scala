@@ -537,6 +537,69 @@ object Pipeline {
     crossString.unionByName(sameString).dropDuplicates("src", "dst")
   }
 
+  /** Mention-level pairwise metrics computed at STRING granularity with
+    * multiplicities — algebraically identical to expanding the universe
+    * through membership (labeledPairUniverse + evaluate), because every
+    * mention of an interned string carries the same entity (vocabulary
+    * separation: canonical names are ≥3 edits apart, corruption ≤1 edit,
+    * so no match key straddles entities — violations are counted and
+    * must be zero) and the same cluster label (labels are assigned per
+    * string). A string pair (s,d) contributes freq_s·freq_d mention
+    * pairs; a single string contributes C(freq,2) same-string pairs,
+    * always predicted-positive (one string = one label) and always true
+    * (one string = one entity). The expanded form materializes
+    * O(Σ freq_s·freq_d) rows — quadratic in hot-string frequency; at 2M
+    * Zipf pages it starved the driver into executor-heartbeat death.
+    * This form is O(|string pairs|). */
+  def evaluateWeighted(
+      stringPairs: DataFrame, // (src, dst) candidate string pairs
+      strings: DataFrame, // (string_id, match_key, freq)
+      membership: DataFrame, // (mention_id, string_id)
+      truth: DataFrame, // (mention_id, entity_id)
+      stringLabels: DataFrame): EvalResult = { // (id, label) over string ids
+    val spark = stringPairs.sparkSession
+    import spark.implicits._
+    val stringEntity = membership
+      .join(truth.select($"mention_id", $"entity_id"), Seq("mention_id"))
+      .groupBy($"string_id")
+      .agg(min($"entity_id").as("entity_id"),
+        countDistinct($"entity_id").as("n_entities"))
+    val info = strings.select($"string_id", $"freq")
+      .join(stringEntity, Seq("string_id"))
+      .join(stringLabels.select($"id".as("string_id"), $"label"), Seq("string_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sameAgg = info.agg(
+      // Long arithmetic throughout (`/` would promote to double); the
+      // product is always even, so halving the Long sum is exact
+      coalesce(sum($"freq" * ($"freq" - 1)), lit(0L)).as("same_tp2"),
+      coalesce(sum(when($"n_entities" > 1, 1L).otherwise(0L)), lit(0L)).as("mixed"))
+      .collect()(0)
+    val (sameTp, mixed) = (sameAgg.getLong(0) / 2, sameAgg.getLong(1))
+    require(mixed == 0L,
+      s"$mixed interned strings map to multiple entities — the weighted " +
+        "evaluation's per-string invariant is violated; use the expanded " +
+        "labeledPairUniverse + evaluate instead")
+    val cross = stringPairs
+      .join(info.select($"string_id".as("src"), $"freq".as("src_f"),
+        $"entity_id".as("src_e"), $"label".as("src_l")), Seq("src"))
+      .join(info.select($"string_id".as("dst"), $"freq".as("dst_f"),
+        $"entity_id".as("dst_e"), $"label".as("dst_l")), Seq("dst"))
+      .select(($"src_e" === $"dst_e").as("m"), ($"src_l" === $"dst_l").as("p"),
+        ($"src_f" * $"dst_f").as("w"))
+    val agg = cross.agg(
+      coalesce(sum(when($"m" && $"p", $"w").otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(!$"m" && $"p", $"w").otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when($"m" && !$"p", $"w").otherwise(0L)), lit(0L)).as("fn"),
+      coalesce(sum($"w"), lit(0L)).as("n")).collect()(0)
+    info.unpersist()
+    val (tp, fp, fn, n) =
+      (agg.getLong(0) + sameTp, agg.getLong(1), agg.getLong(2), agg.getLong(3) + sameTp)
+    val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+    val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    EvalResult(tp, fp, fn, p, r, f1, n)
+  }
+
   /** Pairwise F1 over labeled pairs sharing a blocking key (BASELINE
     * metric). `universe` = mention-level labeled pairs, `truth` maps
     * mention_id → entity_id, `labels` maps mention_id → cluster label. */
@@ -574,7 +637,8 @@ object Pipeline {
   final case class PipelineOutput(
       mentions: Long, distinctStrings: Long, stats: BlockingStats,
       acceptedPairs: Long, clusters: Long, iterations: Int,
-      pairs: DataFrame, membership: DataFrame, labels: DataFrame)
+      pairs: DataFrame, membership: DataFrame, labels: DataFrame,
+      strings: DataFrame, stringLabels: DataFrame)
 
   /** The timed pipeline: pages → mentions → intern → block → score →
     * cluster. No evaluation work (truth/universe expansion) — this is the
@@ -643,7 +707,7 @@ object Pipeline {
     }
     mentions.unpersist(); strings.unpersist(); accepted.unpersist()
     PipelineOutput(nMentions, nStrings, stats, nAccepted, nClusters,
-      metrics.size, pairs, membership, labels)
+      metrics.size, pairs, membership, labels, strings, stringLabels)
   }
 
   /** Full pipeline + pairwise-F1 evaluation against generator truth. */

@@ -29,10 +29,43 @@ import org.apache.spark.sql.SparkSession
   * Prints one JSON line; also used to fill BENCH/BASELINE.md.
   */
 object ScalingBench {
+  /** GRAFT_SCALING_LOCAL_CLUSTER=1 switches the harness from `local[n]`
+    * (n task threads in ONE JVM) to `local-cluster[n,1,m]` (n separate
+    * 1-core executor JVMs — Spark's standalone cluster running on one
+    * box). The latter is the faithful N-vs-4N-executor emulation:
+    * - each executor has its own heap and GC, so a stop-the-world pause
+    *   costs one core-second per second, not n (measured: the shared-JVM
+    *   mode loses a uniform ~25% at local[4] vs local[1] across ALL
+    *   stages — allocation-rate-driven STW pauses stopping 4 task
+    *   threads at once — an artifact real multi-executor clusters don't
+    *   have);
+    * - per-executor memory is CONSTANT across levels (scaling a real
+    *   cluster adds executors, it doesn't grow them), so total memory
+    *   scales with the level exactly as 4× executors would;
+    * - data crosses executor boundaries through real shuffle
+    *   serialization + local sockets, not in-process array handoff.
+    */
+  private val localCluster = sys.env.contains("GRAFT_SCALING_LOCAL_CLUSTER")
+
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    val master =
+      if (localCluster) s"local-cluster[$cores,1,6144]" else s"local[$cores]"
+    val b = SparkSession.builder()
+      .master(master)
       .appName(s"graft-scaling-$cores")
+    if (localCluster) b
+      .config("spark.executor.memory", "6g")
+      // application classes for the spawned executor JVMs (the driver runs
+      // from sbt's classpath; executors are launched by the worker from
+      // SPARK_HOME and only see spark jars unless told otherwise)
+      .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+      // small CONSTANT per-executor GC/JIT capacity (a real executor's
+      // aux threads don't grow when the cluster scales out; unpinned,
+      // each 1-core executor JVM would size them from all 32 physical
+      // cores of the box)
+      .config("spark.executor.extraJavaOptions",
+        "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1 -XX:CICompilerCount=2")
+    val s = b
       // FIXED across levels: on a real cluster shuffle.partitions does not
       // change when the executor count does, and scaling it with cores
       // biases the comparison (at 2 partitions a 500k-page shuffle spills,
@@ -45,6 +78,10 @@ object ScalingBench {
       // the faster (4N) level. Measured at 2M pages, 2-vs-8 cores:
       // efficiency 0.66 with AQE, 0.68 without, both levels faster without.
       .config("spark.sql.adaptive.enabled", "false")
+      // a broadcast side's upstream computation is serial at local[1] and
+      // can exceed the default 300 s — the timeout exists to catch hung
+      // executors on a real cluster, not slow-but-progressing local runs
+      .config("spark.sql.broadcastTimeout", "36000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -91,6 +128,23 @@ object ScalingBench {
     val levels =
       if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 4, 16)
     val results = levels.map(c => runAt(c, nPages, nEntities))
+
+    // Re-sampling mode for contended windows: this box shows up to 8×
+    // same-code run-to-run variance when a co-tenant VM lands on the host
+    // (measured: local[16] blocking 84 s then 653 s back-to-back). Levels
+    // are re-run in extra invocations spread in time and combined by
+    // per-level MIN across invocations (the least-contended estimate);
+    // the expensive eval + cross-level identity check already ran in the
+    // first invocation and stays valid (labels are deterministic).
+    if (sys.env.contains("GRAFT_SCALING_NO_EVAL")) {
+      def lj(l: Level): String =
+        f"""{"cores":${l.cores},"seconds":${l.seconds}%.2f,"pairs_per_sec":${l.pairsPerSec}%.0f,""" +
+          f""""pages_per_sec":${l.pagesPerSec}%.0f}"""
+      println(
+        f"""{"bench":"er_scaling_levels","pages":$nPages,"entities":$nEntities,""" +
+          s""""levels":[${results.map(lj).mkString(",")}]}""")
+      return
+    }
     val lo = results(0)
     val hi = results(1)
     val eff = (lo.seconds / hi.seconds) / (hi.cores.toDouble / lo.cores)
@@ -111,8 +165,8 @@ object ScalingBench {
       .withColumn("mention_id", org.apache.spark.sql.functions.xxhash64(
         org.apache.spark.sql.functions.col("url"),
         org.apache.spark.sql.functions.col("seq")))
-    val eval = Pipeline.evaluate(
-      Pipeline.labeledPairUniverse(out.pairs, out.membership), truth, out.labels)
+    val eval = Pipeline.evaluateWeighted(
+      out.pairs, out.strings, out.membership, truth, out.stringLabels)
     spark.stop()
 
     def levelJson(l: Level): String =

@@ -37,6 +37,23 @@ class ErPipelineSpec extends AnyFunSuite {
     assert(res.eval.f1 >= 0.99, s"F1 gate failed on seed 7: $res")
   }
 
+  test("weighted string-level evaluation equals the expanded mention-level one") {
+    val cfg = Pipeline.Config(seed = 13L, nPages = 600, nEntities = 120,
+      workDir = freshDir("weval"))
+    val out = Pipeline.runPipeline(spark, cfg)
+    val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
+      .withColumn("mention_id", xxhash64($"url", $"seq"))
+    val expanded = Pipeline.evaluate(
+      Pipeline.labeledPairUniverse(out.pairs, out.membership), truth, out.labels)
+    val weighted = Pipeline.evaluateWeighted(
+      out.pairs, out.strings, out.membership, truth, out.stringLabels)
+    assert(weighted.tp == expanded.tp, s"tp: $weighted vs $expanded")
+    assert(weighted.fp == expanded.fp, s"fp: $weighted vs $expanded")
+    assert(weighted.fn == expanded.fn, s"fn: $weighted vs $expanded")
+    assert(weighted.labeledPairs == expanded.labeledPairs,
+      s"universe size: $weighted vs $expanded")
+  }
+
   test("extraction is byte-identical per url regardless of partitioning") {
     val pages1 = Corpus.pages(spark, 200, 50, 42L).toDF().repartition(1)
     val pages2 = Corpus.pages(spark, 200, 50, 42L).toDF().repartition(17)

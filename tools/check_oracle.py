@@ -23,7 +23,7 @@ def main():
     results = {}
     for name in sorted(sqls):
         sql = sqls[name]
-        files = glob.glob(f"{out}/{name}/*.parquet")
+        files = glob.glob(f"{out}/{name}.parquet/*.parquet")
         if not files:
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
@@ -33,7 +33,7 @@ def main():
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
         got = duckdb.sql(
-            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
+            f"SELECT * FROM read_parquet('{out}/{name}.parquet/*.parquet')").df()
         # sort columns by name
         exp = exp[sorted(exp.columns)]
         got_cols = sorted(got.columns)
