@@ -27,12 +27,13 @@ object SparkEntry {
     val (strings, membership) = er.Pipeline.internStrings(mentions)
     val (pairs, _) = er.Pipeline.candidatePairs(strings, cfg)
     val accepted = er.Pipeline.matchEdges(pairs, strings, cfg)
-    val edges = accepted.unionByName(
-      membership.filter(col("mention_id") =!= col("string_id"))
-        .select(col("string_id").as("src"), col("mention_id").as("dst")))
+    // cluster the (small, interned) string graph, then expand labels to
+    // mentions through membership — mention and string id spaces stay
+    // disjoint by design (see Pipeline.internStrings)
     val labels = Components.connectedComponents(
-      mentions.select(col("mention_id").as("id")), edges)
-    labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      strings.select(col("string_id").as("id")), accepted)
+    labels.join(membership.select(col("string_id").as("id"), col("mention_id")), Seq("id"))
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

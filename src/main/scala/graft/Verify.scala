@@ -34,9 +34,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Defensive dual keying: the round-1 driver keyed results by output
+    // directory name INCLUDING the ".parquet" suffix ("q01_agg.parquet")
+    // while we keyed oracle_sql.json bare ("q01_agg") → every row came
+    // back `no_oracle`. Emit each SQL under both keys, plus a <name>.sql
+    // sidecar next to each output dir.
+    val entries = SparkEntry.oracleSql.toSeq.flatMap { case (k, v) =>
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+    }
     spark.stop()
   }
 }

@@ -25,11 +25,12 @@ object DebugSplits {
     val (strings0, membership0) = Pipeline.internStrings(mentions)
     val strings = strings0.cache()
     val membership = membership0.cache()
-    val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
-      .withColumn("mention_id", xxhash64($"url", $"seq"))
+    val truth = Pipeline.withMentionIds(
+      Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF())
 
     val stringEntity = membership
-      .join(truth.select($"mention_id", $"entity_id"), Seq("mention_id"))
+      .join(truth.select($"mention_id", $"mention_id2", $"entity_id"),
+        Seq("mention_id", "mention_id2"))
       .groupBy($"string_id").agg(min($"entity_id").as("entity_id")).cache()
 
     val out = Pipeline.runPipeline(spark, cfg)

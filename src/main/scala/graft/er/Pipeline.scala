@@ -77,16 +77,27 @@ object Pipeline {
 
   // ---------------------------------------------------------------- extract
 
+  /** Tag mixed into the second identity hash — prefixing a distinct
+    * literal is equivalent to running xxhash64 under an independent seed. */
+  private val Id2Tag = "graft:id2"
+
+  /** 128-bit mention identity from the natural key (url, seq): two
+    * independent xxhash64 values. Collision odds for the PAIR at 10^12
+    * rows are ~2^-40 — negligible, vs ~2.7% for a single 64-bit hash
+    * (which would silently fuse two unrelated mentions). All mention-level
+    * joins (membership ↔ truth) key on both columns. */
+  def withMentionIds(df: DataFrame): DataFrame = df
+    .withColumn("mention_id", xxhash64(col("url"), col("seq")))
+    .withColumn("mention_id2", xxhash64(lit(Id2Tag), col("url"), col("seq")))
+
   /** pages → mentions. Extraction is structural (lines prefixed "loc: ")
     * and built only from deterministic expressions — byte-identical output
-    * per url under any partitioning (input_hint invariant). mention_id =
-    * xxhash64(url, seq): deterministic and partition-independent (a
-    * content-derived surrogate key; collision odds at 10^12 rows ≈ 2.7%
-    * for a *single* colliding pair globally — bounded impact, documented
-    * tradeoff vs a global row_number sort).
+    * per url under any partitioning (input_hint invariant). Mention
+    * identity is the 128-bit (mention_id, mention_id2) pair — see
+    * withMentionIds.
     */
   def extractMentions(pages: DataFrame): DataFrame = {
-    pages
+    withMentionIds(pages
       .select(
         col("url"),
         col("lang"),
@@ -97,8 +108,7 @@ object Pipeline {
         col("url"),
         col("lang"),
         col("seq"),
-        expr("substring(line, 6)").as("raw"))
-      .withColumn("mention_id", xxhash64(col("url"), col("seq")))
+        expr("substring(line, 6)").as("raw")))
       .withColumn("norm", gf.normalize_text(col("raw")))
       .withColumn("match_key", gf.match_key(col("raw")))
       .filter(length(col("match_key")) >= 2) // F5: min length gate
@@ -106,18 +116,59 @@ object Pipeline {
 
   // ---------------------------------------------------------------- intern
 
+  /** Deterministic, collision-FREE Long ids for the interned strings.
+    * string_id = xxhash64(match_key), then a detect-and-rehash loop: any
+    * id carried by more than one distinct key is reassigned with the
+    * round number mixed into the hash, re-checked against the full set,
+    * until no duplicates remain. The result is a pure function of the
+    * distinct-key set (partition-invariant) and keeps the clustering loop
+    * on 8-byte keys — half the shuffle width of a 128-bit label — while
+    * removing the silent-cluster-fusion risk of raw 64-bit hashing.
+    * Expected cost beyond the always-needed duplicate check: at 10^10
+    * distinct strings ~3 colliding ids → one extra (tiny) round. */
+  /** Pure-Scala mirror of Spark's `xxhash64` over a string (seed 42) —
+    * keeps the streaming incremental intern (StreamOps.incrementalIntern)
+    * assigning the same ids as the batch expression below. */
+  def stringIdHash(key: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  private def assignStringIds(keys: DataFrame): DataFrame = {
+    var assigned = keys.withColumn("string_id", xxhash64(col("match_key")))
+    var round = 1
+    var done = false
+    while (!done && round <= 8) {
+      val dupIds = assigned.groupBy(col("string_id"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("string_id"))
+      if (dupIds.isEmpty) done = true
+      else {
+        assigned = assigned
+          .join(broadcast(dupIds.withColumn("dup", lit(true))), Seq("string_id"), "left")
+          .withColumn("string_id", when(col("dup"),
+            xxhash64(lit(Id2Tag), col("match_key"), lit(round))).otherwise(col("string_id")))
+          .drop("dup")
+        round += 1
+      }
+    }
+    require(done, "string-id assignment failed to resolve hash collisions " +
+      "after 8 rehash rounds — input pathology, refusing to proceed")
+    assigned
+  }
+
   /** String interning (reference D1): one row per distinct canonical match
-    * key. string_id = min(mention_id) of the group — deterministic and
-    * partition-invariant. Returns (strings, membership):
-    * strings(string_id, match_key, freq); membership(mention_id, string_id).
+    * key, with a deterministic collision-free Long id (assignStringIds).
+    * Returns (strings, membership): strings(string_id, match_key, freq);
+    * membership(mention_id, mention_id2, string_id).
     */
   def internStrings(mentions: DataFrame): (DataFrame, DataFrame) = {
-    val strings = mentions
-      .groupBy(col("match_key"))
-      .agg(min(col("mention_id")).as("string_id"), count(lit(1)).as("freq"))
-    val membership = mentions.select(col("mention_id"), col("match_key"))
+    val strings = assignStringIds(
+      mentions.groupBy(col("match_key")).agg(count(lit(1)).as("freq")))
+      .select(col("string_id"), col("match_key"), col("freq"))
+    val membership = mentions
+      .select(col("mention_id"), col("mention_id2"), col("match_key"))
       .join(strings.select(col("match_key"), col("string_id")), Seq("match_key"))
-      .select(col("mention_id"), col("string_id"))
+      .select(col("mention_id"), col("mention_id2"), col("string_id"))
     (strings, membership)
   }
 
@@ -527,12 +578,13 @@ object Pipeline {
   def labeledPairUniverse(stringPairs: DataFrame, membership: DataFrame): DataFrame = {
     val spark = stringPairs.sparkSession
     import spark.implicits._
+    val mem = membership.select($"mention_id", $"string_id")
     val crossString = stringPairs
-      .join(membership.withColumnRenamed("string_id", "src").withColumnRenamed("mention_id", "m_src"), Seq("src"))
-      .join(membership.withColumnRenamed("string_id", "dst").withColumnRenamed("mention_id", "m_dst"), Seq("dst"))
+      .join(mem.withColumnRenamed("string_id", "src").withColumnRenamed("mention_id", "m_src"), Seq("src"))
+      .join(mem.withColumnRenamed("string_id", "dst").withColumnRenamed("mention_id", "m_dst"), Seq("dst"))
       .select(least($"m_src", $"m_dst").as("src"), greatest($"m_src", $"m_dst").as("dst"))
-    val sameString = membership.as("a")
-      .join(membership.as("b"), $"a.string_id" === $"b.string_id" && $"a.mention_id" < $"b.mention_id")
+    val sameString = mem.as("a")
+      .join(mem.as("b"), $"a.string_id" === $"b.string_id" && $"a.mention_id" < $"b.mention_id")
       .select($"a.mention_id".as("src"), $"b.mention_id".as("dst"))
     crossString.unionByName(sameString).dropDuplicates("src", "dst")
   }
@@ -559,15 +611,32 @@ object Pipeline {
       stringLabels: DataFrame): EvalResult = { // (id, label) over string ids
     val spark = stringPairs.sparkSession
     import spark.implicits._
+    // mention-level join on the FULL 128-bit identity pair
     val stringEntity = membership
-      .join(truth.select($"mention_id", $"entity_id"), Seq("mention_id"))
+      .join(truth.select($"mention_id", $"mention_id2", $"entity_id"),
+        Seq("mention_id", "mention_id2"))
       .groupBy($"string_id")
       .agg(min($"entity_id").as("entity_id"),
-        countDistinct($"entity_id").as("n_entities"))
+        countDistinct($"entity_id").as("n_entities"),
+        count(lit(1)).as("n_mentions"))
     val info = strings.select($"string_id", $"freq")
       .join(stringEntity, Seq("string_id"))
       .join(stringLabels.select($"id".as("string_id"), $"label"), Seq("string_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Coverage guard: the weighted metrics weight each string by its full
+    // freq, which is only valid if truth and stringLabels cover EVERY
+    // mention/string — assert it instead of silently diverging from the
+    // expanded labeledPairUniverse+evaluate when coverage is partial.
+    val cov = info.agg(count(lit(1)).as("n_strings"),
+      coalesce(sum($"n_mentions"), lit(0L)).as("n_m"),
+      coalesce(sum(when($"freq" =!= $"n_mentions", 1L).otherwise(0L)), lit(0L))
+        .as("freq_mismatch")).collect()(0)
+    val nStrings = strings.count()
+    require(cov.getLong(0) == nStrings && cov.getLong(2) == 0L,
+      s"evaluateWeighted coverage violated: ${nStrings - cov.getLong(0)} strings " +
+        s"dropped by the truth/label joins, ${cov.getLong(2)} strings with " +
+        "truth-joined mention count != freq — use the expanded " +
+        "labeledPairUniverse + evaluate instead")
     val sameAgg = info.agg(
       // Long arithmetic throughout (`/` would promote to double); the
       // product is always even, so halving the Long sum is exact
@@ -714,8 +783,8 @@ object Pipeline {
   def run(spark: SparkSession, cfg: Config): RunResult = {
     import spark.implicits._
     val out = runPipeline(spark, cfg)
-    val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
-      .withColumn("mention_id", xxhash64($"url", $"seq"))
+    val truth = withMentionIds(
+      Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF())
     val universe = labeledPairUniverse(out.pairs, out.membership)
     val eval = evaluate(universe, truth, out.labels)
     out.pairs.unpersist(); out.membership.unpersist()

@@ -47,6 +47,12 @@ object ScalingBench {
     */
   private val localCluster = sys.env.contains("GRAFT_SCALING_LOCAL_CLUSTER")
 
+  /** Where this class's own bytecode lives (sbt classes dir or the
+    * packaged app jar) — shipped to executor JVMs via extraClassPath. */
+  private def codeSourcePath: String =
+    new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+
   private def session(cores: Int): SparkSession = {
     val master =
       if (localCluster) s"local-cluster[$cores,1,6144]" else s"local[$cores]"
@@ -57,8 +63,11 @@ object ScalingBench {
       .config("spark.executor.memory", "6g")
       // application classes for the spawned executor JVMs (the driver runs
       // from sbt's classpath; executors are launched by the worker from
-      // SPARK_HOME and only see spark jars unless told otherwise)
-      .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+      // SPARK_HOME and only see spark jars unless told otherwise). Derive
+      // the path from this class's own code source — hardcoding the repo
+      // path broke (or silently ran stale classes) when launched from a
+      // packaged jar or a relocated checkout.
+      .config("spark.executor.extraClassPath", codeSourcePath)
       // small CONSTANT per-executor GC/JIT capacity (a real executor's
       // aux threads don't grow when the cluster scales out; unpinned,
       // each 1-core executor JVM would size them from all 32 physical
@@ -127,6 +136,9 @@ object ScalingBench {
     val nEntities = if (args.length > 1) args(1).toInt else 80000
     val levels =
       if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 4, 16)
+    require(levels.size >= 2 || sys.env.contains("GRAFT_SCALING_NO_EVAL"),
+      "need at least two parallelism levels to compute scaling efficiency " +
+        "(or set GRAFT_SCALING_NO_EVAL for single-level re-sampling runs)")
     val results = levels.map(c => runAt(c, nPages, nEntities))
 
     // Re-sampling mode for contended windows: this box shows up to 8×
@@ -161,10 +173,8 @@ object ScalingBench {
     val evalCfg = Pipeline.Config(nPages = nPages, nEntities = nEntities,
       workDir = "/tmp/graft_scaling_eval", collectStats = false)
     val out = Pipeline.runPipeline(spark, evalCfg)
-    val truth = Corpus.truth(spark, nPages, nEntities, evalCfg.seed).toDF()
-      .withColumn("mention_id", org.apache.spark.sql.functions.xxhash64(
-        org.apache.spark.sql.functions.col("url"),
-        org.apache.spark.sql.functions.col("seq")))
+    val truth = Pipeline.withMentionIds(
+      Corpus.truth(spark, nPages, nEntities, evalCfg.seed).toDF())
     val eval = Pipeline.evaluateWeighted(
       out.pairs, out.strings, out.membership, truth, out.stringLabels)
     spark.stop()

@@ -34,11 +34,13 @@ object TuneMain {
     val membership = membership0.cache()
     println(s"DISTINCT_STRINGS=${strings.count()}")
 
-    val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
-      .withColumn("mention_id", xxhash64($"url", $"seq"))
+    val truth = Pipeline.withMentionIds(
+      Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF())
     // entity of each string = entity of its mentions (strings never span
     // entities only if generator names are unique per entity — check!)
-    val stringEntity = membership.join(truth.select($"mention_id", $"entity_id"), Seq("mention_id"))
+    val stringEntity = membership.join(
+      truth.select($"mention_id", $"mention_id2", $"entity_id"),
+      Seq("mention_id", "mention_id2"))
       .groupBy($"string_id")
       .agg(countDistinct($"entity_id").as("n_e"), min($"entity_id").as("entity_id"))
       .cache()

@@ -45,14 +45,15 @@ object StreamOps {
   /** Streaming incremental string interning — the ingest-side analogue of
     * the batch `er.Pipeline.internStrings` (reference get_or_create_string,
     * typeahead.cc:300-306): a stream of mentions grouped by canonical
-    * match key assigns the key's string id on first sight (min mention_id
-    * of the first micro-batch that carries it) and keeps it stable in
-    * GroupState forever after — the get_or_create upsert semantics —
-    * emitting (mention_id, string_id, is_new_string) per arriving mention.
-    * At cluster scale the state store shards by key — the same
-    * partitioning story as the batch groupBy. Equals the batch
-    * internStrings membership whenever a key's minimal mention arrives in
-    * its first batch (asserted in StreamingSpec).
+    * match key assigns the key's string id on first sight and keeps it
+    * stable in GroupState forever after — the get_or_create upsert
+    * semantics — emitting (mention_id, string_id, is_new_string) per
+    * arriving mention. The id is the same content hash the batch path
+    * uses (Pipeline.stringIdHash = xxhash64(match_key)), so streamed ids
+    * equal batch ids; the batch path's collision detect-and-rehash runs
+    * at the periodic batch compaction, not per-event. At cluster scale
+    * the state store shards by key — the same partitioning story as the
+    * batch groupBy.
     */
   def incrementalIntern(spark: SparkSession, mentions: DataFrame): Dataset[InternedMention] = {
     import spark.implicits._
@@ -61,13 +62,15 @@ object StreamOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, InternedMention](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
           val batch = rows.map(_._2).toVector
           val prior = state.getOption
-          val sid = prior.getOrElse(batch.min) // assign once, stable forever
+          val sid = prior.getOrElse(graft.er.Pipeline.stringIdHash(key))
           state.update(sid)
-          // is_new_string marks exactly the mention that created the id
-          batch.iterator.map(m => InternedMention(m, sid, prior.isEmpty && m == sid))
+          // is_new_string marks exactly one mention: the minimal one of
+          // the micro-batch that first carried the key
+          val creator = batch.min
+          batch.iterator.map(m => InternedMention(m, sid, prior.isEmpty && m == creator))
       }
   }
 

@@ -41,8 +41,8 @@ class ErPipelineSpec extends AnyFunSuite {
     val cfg = Pipeline.Config(seed = 13L, nPages = 600, nEntities = 120,
       workDir = freshDir("weval"))
     val out = Pipeline.runPipeline(spark, cfg)
-    val truth = Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
-      .withColumn("mention_id", xxhash64($"url", $"seq"))
+    val truth = Pipeline.withMentionIds(
+      Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF())
     val expanded = Pipeline.evaluate(
       Pipeline.labeledPairUniverse(out.pairs, out.membership), truth, out.labels)
     val weighted = Pipeline.evaluateWeighted(
@@ -91,11 +91,8 @@ class ErPipelineSpec extends AnyFunSuite {
     val mentions = Pipeline.extractMentions(pages).cache()
     val (strings, membership) = Pipeline.internStrings(mentions)
     val (pairs, _) = Pipeline.candidatePairs(strings, cfgBase)
-    val accepted = Pipeline.matchEdges(pairs, strings, cfgBase)
-    val edges = accepted.unionByName(
-      membership.filter($"mention_id" =!= $"string_id")
-        .select($"string_id".as("src"), $"mention_id".as("dst"))).cache()
-    val vertices = mentions.select($"mention_id")
+    val edges = Pipeline.matchEdges(pairs, strings, cfgBase).cache()
+    val vertices = strings.select($"string_id")
 
     // full run
     val (labelsFull, mFull) = Pipeline.cluster(vertices, edges,

@@ -48,7 +48,7 @@ class StreamingSpec extends AnyFunSuite {
     // stage a small synthetic page corpus as a file stream
     val pages = graft.er.Corpus.pages(spark, 300, 60, 42L).toDF()
     val mentions = graft.er.Pipeline.extractMentions(pages)
-      .select($"mention_id", $"match_key")
+      .select($"mention_id", $"mention_id2", $"match_key")
     val d = new java.io.File("/tmp/graft_stream_mentions")
     org.apache.commons.io.FileUtils.deleteQuietly(d)
     mentions.coalesce(1).write.parquet(d.getPath)

@@ -20,6 +20,9 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     sqls = json.load(open(f"{out}/oracle_sql.json"))
+    # Verify now dual-keys each SQL as "qNN" and "qNN.parquet" (driver
+    # handshake defensiveness); iterate the bare names only here.
+    sqls = {k: v for k, v in sqls.items() if not k.endswith(".parquet")}
     results = {}
     for name in sorted(sqls):
         sql = sqls[name]

@@ -10,9 +10,12 @@ cd "$(dirname "$0")/.."
 sbt -batch package > /dev/null
 export SPARK_SCALA_VERSION=2.13   # executor spawn needs it outside bin/spark-class
 export GRAFT_SCALING_LOCAL_CLUSTER=1
+# "${@:-}" would expand to ONE empty-string arg when no args are given
+# (crashing args(0).toLong); default explicitly instead.
+[ $# -eq 0 ] && set -- 2000000 80000 1 4 16
 exec /opt/spark/bin/spark-submit \
   --master 'local[1]' \
   --driver-memory 8g \
   --class graft.er.ScalingBench \
   target/scala-2.13/adrspark_2.13-0.1.0.jar \
-  "${@:-}"
+  "$@"
