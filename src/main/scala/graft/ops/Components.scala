@@ -50,7 +50,14 @@ object Components {
       .withColumn("tris", TextOps.trigramStrings(col("name")))
       .withColumn("n", size(col("tris")))
     val keyed = withTris.select(col("name_id"), col("n"), explode(col("tris")).as("gram"))
-    val counted = keyed.as("a").join(keyed.as("b"),
+    // hot-gram cap (same rule + oracle mirror as q13/q23): no gram block
+    // may expand quadratically at corpus scale
+    val keptGrams = keyed.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gcnt"))
+      .filter(col("gcnt").between(2, Dedup.MaxBlock))
+      .select(col("gram"))
+    val capped = keyed.join(keptGrams, Seq("gram"))
+    val counted = capped.as("a").join(capped.as("b"),
         col("a.gram") === col("b.gram") && col("a.name_id") < col("b.name_id"))
       .groupBy(col("a.name_id").as("src"), col("b.name_id").as("dst"),
         col("a.n").as("n1"), col("b.n").as("n2"))
@@ -79,9 +86,11 @@ object Components {
         |  FROM interned t, LATERAL (SELECT unnest(generate_series(1, len(t.name) - 2)) AS i) i
         |  WHERE len(t.name) >= 3 AND substr(t.name, i.i, 3) NOT LIKE '% %'),
         |n AS (SELECT name_id, count(*) AS n FROM g GROUP BY 1),
+        |kf AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256),
+        |gk AS (SELECT g.name_id, g.gram FROM g JOIN kf USING (gram)),
         |counted AS (
         |  SELECT a.name_id AS src, b.name_id AS dst, count(*) AS shared
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.name_id < b.name_id
+        |  FROM gk a JOIN gk b ON a.gram = b.gram AND a.name_id < b.name_id
         |  GROUP BY 1, 2),
         |cand AS (
         |  SELECT src, dst FROM counted

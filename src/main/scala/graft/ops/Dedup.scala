@@ -15,6 +15,13 @@ import graft.{functions => gf}
 object Dedup {
   import Tables.load
 
+  /** Hot-block cap shared by every pair-expanding query here (the
+    * reference's kMaxMatches=6000 analogue, typeahead.cc:428; same rule as
+    * er.Pipeline.Config.maxBlockSize): buckets larger than this are
+    * dropped whole — a deterministic rule a SQL oracle can mirror with a
+    * HAVING count(*) — so no block can go quadratic at corpus scale. */
+  val MaxBlock = 256
+
   /** Exact dedup: one group per identical text. */
   def q20ExactDedup(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
@@ -47,10 +54,12 @@ object Dedup {
       .agg(concat_ws("|", min(col("minhash")), max(col("minhash"))).as("band_sig"))
     // block expansion instead of a self-join: the signature subtree (full
     // shingle + md5×8 pipeline) is computed ONCE, buckets become member
-    // lists, pairs explode map-side (bucket sizes are tiny by design)
+    // lists, pairs explode map-side. Buckets above MaxBlock are dropped
+    // whole (a web-scale near-dup-heavy corpus makes band buckets hot;
+    // without the cap a single hot band_sig is a quadratic task).
     bands.groupBy(col("band"), col("band_sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")).between(2, MaxBlock))
       .select(explode(col("ids")).as("src"), col("ids"))
       .select(col("src"), explode(col("ids")).as("dst"))
       .filter(col("src") < col("dst"))
@@ -96,9 +105,12 @@ object Dedup {
     val perDoc = d.groupBy(col("doc_id"))
       .agg(collect_set(xxhash64(col("shingle"))).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    // hot-shingle cap: boilerplate shingles shared by thousands of docs
+    // carry no near-dup signal and would explode quadratically — drop
+    // blocks above MaxBlock whole (mirrored in the oracle via HAVING)
     val blocks = perDoc.groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
+      .filter(size(col("ms")).between(2, MaxBlock))
     blocks
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
@@ -112,14 +124,61 @@ object Dedup {
       .select(col("src"), col("dst"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs via the fused codegen CosineSim
-    * expression (threshold for the synthetic embedding distribution). */
+  /** Random-hyperplane LSH parameters for q25: 32 sign bits over the
+    * 64-dim embedding space, split into 8 bands × 4 bits. ±1 hyperplane
+    * weights derive from md5 parity so the DuckDB oracle reproduces them
+    * exactly. Recall at the demo threshold 0.35 is ~0.7 per the
+    * sign-agreement formula (1-(1-p^4)^8, p = 1 - acos(c)/π); the
+    * production near-dup regime (cosine ≥ 0.9) sits at ~0.99. */
+  private val LshBits = 32
+  private val LshBandBits = 4
+  private val EmbDim = 64
+
+  /** ±1 weight matrix: w(j)(i) for hyperplane j∈[0,32), dim i∈[1,64] —
+    * parity of the first hex digit of md5("j:i"). */
+  private lazy val hyperplanes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until LshBits).map { j =>
+      (1 to EmbDim).map { i =>
+        val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        // first hex char = high nibble of byte 0
+        if (((hex(0) >> 4) & 0xF) % 2 == 1) 1 else -1
+      }
+    }
+  }
+
+  /** Embedding-cosine near-dup pairs, de-quadratic'd: random-hyperplane
+    * LSH buckets (sign of v·w per hyperplane, banded) generate candidate
+    * pairs inside capped buckets only; the exact fused-codegen CosineSim
+    * rescore keeps just pairs ≥ 0.35. No cross join anywhere — the plan
+    * is scan → band explode → hash agg → capped map-side pair explode →
+    * scalar rescore. Exact top-k over the full space remains q26; the
+    * IVF path is q27. */
   def q25EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val w = typedLit(hyperplanes)
     val e = load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v")) // primitive float arrays
-    val a = e.select(col("vec_id").as("src"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("dst"), col("v").as("vb"))
-    a.crossJoin(b).filter(col("src") < col("dst"))
+    val bits = transform(sequence(lit(0), lit(LshBits - 1)), j =>
+      when(aggregate(sequence(lit(1), lit(EmbDim)), lit(0.0d),
+        (acc, i) => acc + element_at(col("v"), i).cast("double") *
+          element_at(element_at(w, (j + 1).cast("int")), i.cast("int"))) > 0d, 1).otherwise(0))
+    val bands = e
+      .withColumn("bits", bits)
+      .select(col("vec_id"), col("v"), col("bits"),
+        explode(sequence(lit(0), lit(LshBits / LshBandBits - 1))).as("band"))
+      .withColumn("band_val", aggregate(
+        sequence(lit(0), lit(LshBandBits - 1)), lit(0),
+        (acc, k) => acc + element_at(col("bits"),
+          (col("band") * LshBandBits + k + 1).cast("int")) * pow(lit(2.0d), k).cast("int")))
+    bands.groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("ms"))
+      .filter(size(col("ms")).between(2, MaxBlock)) // hot-bucket cap, mirrored in oracle
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("src", "dst") // a pair may share several bands
       .withColumn("cosine", round(gf.cosine_sim(col("va"), col("vb")), 5))
       .filter(col("cosine") >= 0.35)
       .select(col("src"), col("dst"), col("cosine"))
@@ -152,10 +211,14 @@ object Dedup {
         |  GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, h // 2 AS band, min(minhash) || '|' || max(minhash) AS band_sig
-        |  FROM sig GROUP BY 1, 2)
+        |  FROM sig GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 256)
         |SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
         |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin,
+        |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |JOIN kept k ON k.band = a.band AND k.band_sig = a.band_sig""".stripMargin,
     "q24_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS hx
@@ -176,19 +239,48 @@ object Dedup {
         |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) i
         |  WHERE len(t) >= 3),
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |kept AS (
+        |  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256),
         |p AS (
         |  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN kept k ON k.shingle = a.shingle
         |  GROUP BY 1, 2)
         |SELECT src, dst,
         |  round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 6) AS jaccard
         |FROM p JOIN n n1 ON n1.doc_id = src JOIN n n2 ON n2.doc_id = dst
         |WHERE round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 6) >= 0.1""".stripMargin,
     "q25_embedding_neardup" ->
-      """SELECT a.vec_id AS src, b.vec_id AS dst,
+      """WITH w AS (
+        |  SELECT j.j AS j, i.i AS i,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |      substr(md5(j.j || ':' || i.i), 1, 1)) - 1) % 2 = 1
+        |      THEN 1 ELSE -1 END AS wt
+        |  FROM (SELECT unnest(generate_series(0, 31)) AS j) j,
+        |       (SELECT unnest(generate_series(1, 64)) AS i) i),
+        |v AS (
+        |  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS x
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i),
+        |bits AS (
+        |  SELECT vec_id, j, CASE WHEN sum(x * wt) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM v JOIN w USING (i) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT vec_id, j // 4 AS band,
+        |    CAST(sum(bit << (j % 4)) AS INT) AS band_val
+        |  FROM bits GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT band, band_val FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 256),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+        |  JOIN kept k ON k.band = a.band AND k.band_val = a.band_val)
+        |SELECT src, dst,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 5) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM cand JOIN embeddings a ON a.vec_id = src
+        |  JOIN embeddings b ON b.vec_id = dst
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])), 5) >= 0.35""".stripMargin
   )

@@ -35,9 +35,10 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
-    rev.withColumn("rnk",
-        row_number().over(Window.orderBy(col("revenue").desc, col("n_name"))))
-      .filter(col("rnk") <= 10)
+    // global top-k as orderBy+limit → TakeOrderedAndProject (a per-partition
+    // partial top-k + tiny driver merge; the windowed row_number form moves
+    // ALL rows to a single partition — reference K1/K3 nth_element analogue)
+    rev.orderBy(col("revenue").desc, col("n_name")).limit(10)
   }
 
   /** §2.8 K2: bounded per-group top-k via window row_number. */
@@ -110,10 +111,8 @@ object Relational {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT n_name, revenue, n_orders,
-        |    CAST(row_number() OVER (ORDER BY revenue DESC, n_name) AS INT) AS rnk
-        |  FROM rev) WHERE rnk <= 10""".stripMargin,
+        |SELECT n_name, revenue, n_orders FROM rev
+        |ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
     "q03_window_topk" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -57,7 +57,15 @@ object TextOps {
       .withColumn("tris", trigramStrings(col("name")))
       .withColumn("n_grams", size(col("tris")))
     val keyed = p.select(col("name_id"), col("n_grams"), explode(col("tris")).as("gram"))
-    val pairs = keyed.as("a").join(keyed.as("b"),
+    // hot-gram cap (Dedup.MaxBlock, mirrored in the oracle): a gram shared
+    // by > cap names is a Zipf-hot stopgram with no discriminative signal
+    // and a quadratic join block — drop it whole before the self-join
+    val keptGrams = keyed.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gcnt"))
+      .filter(col("gcnt").between(2, Dedup.MaxBlock))
+      .select(col("gram"))
+    val capped = keyed.join(keptGrams, Seq("gram"))
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.gram") === col("b.gram") && col("a.name_id") < col("b.name_id"))
       .groupBy(
         col("a.name_id").as("p1"), col("b.name_id").as("p2"),
@@ -200,9 +208,11 @@ object TextOps {
         |  FROM interned t, LATERAL (SELECT unnest(generate_series(1, len(t.name) - 2)) AS i) i
         |  WHERE len(t.name) >= 3 AND substr(t.name, i.i, 3) NOT LIKE '% %'),
         |n AS (SELECT name_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |kf AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256),
+        |gk AS (SELECT g.name_id, g.gram FROM g JOIN kf USING (gram)),
         |pairs AS (
         |  SELECT a.name_id AS p1, b.name_id AS p2, count(*) AS shared
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.name_id < b.name_id
+        |  FROM gk a JOIN gk b ON a.gram = b.gram AND a.name_id < b.name_id
         |  GROUP BY 1, 2)
         |SELECT p1, p2, shared FROM pairs
         |JOIN n n1 ON n1.name_id = p1 JOIN n n2 ON n2.name_id = p2
@@ -217,9 +227,11 @@ object TextOps {
         |  FROM interned t, LATERAL (SELECT unnest(generate_series(1, len(t.name) - 2)) AS i) i
         |  WHERE len(t.name) >= 3 AND substr(t.name, i.i, 3) NOT LIKE '% %'),
         |n AS (SELECT name_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |kf AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256),
+        |gk AS (SELECT g.name_id, g.gram FROM g JOIN kf USING (gram)),
         |pairs AS (
         |  SELECT a.name_id AS p1, b.name_id AS p2, count(*) AS shared
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.name_id < b.name_id
+        |  FROM gk a JOIN gk b ON a.gram = b.gram AND a.name_id < b.name_id
         |  GROUP BY 1, 2),
         |cand AS (
         |  SELECT p1, p2 FROM pairs
