@@ -78,7 +78,9 @@ object SparkEntry {
     "q34_spatial_cell_join" -> (Extras.q34SpatialCellJoin _),
     "q35_areaset_ops" -> (Extras.q35AreasetOps _),
     // per-country address formatting (X14)
-    "q36_format_address" -> (Extras.q36FormatAddress _)
+    "q36_format_address" -> (Extras.q36FormatAddress _),
+    // J3/F9 house-number matching under the numeric-token gate
+    "q37_housenumber_join" -> (Extras.q37HousenumberJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

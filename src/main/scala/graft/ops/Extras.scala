@@ -155,7 +155,65 @@ object Extras {
           code).as("formatted"))
   }
 
+  /** J3/F9 house-number matching under the numeric-token gate (reference
+    * get_suggestions.cc:134-169; numeric rule normalize.h:192-206: a token
+    * is numeric iff at least half its characters are digits). Streets =
+    * interned part names; their house numbers = the child table of
+    * distinct (street, p_size) pairs; each query carries one candidate
+    * house-number phrase (numeric-and-present / numeric-but-absent /
+    * gate-blocked non-numeric). The child join CONDITION embeds the gate —
+    * non-numeric phrases may never match a house number, exactly the
+    * reference's theta-join semantics. */
+  def q37HousenumberJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = load(spark, dir, "part")
+      .withColumn("name", graft.functions.normalize_text(col("p_name")))
+    val interned = p.groupBy(col("name")).agg(min(col("p_partkey")).as("name_id"))
+    val children = p
+      .join(interned, Seq("name"))
+      .select(col("name_id").as("c_name_id"), col("p_size").cast("string").as("hn"))
+      .distinct()
+    val queries = p.select(col("p_partkey").as("qid"), col("name"),
+      when(col("p_partkey") % 4 === 0,
+        concat(lit("xxx"), col("p_size").cast("string"))) // gate-blocked
+        .when(col("p_partkey") % 4 === 1,
+          (col("p_size") + 1000).cast("string")) // numeric, no such HN
+        .otherwise(col("p_size").cast("string")).as("hn_phrase"))
+    val isNum = // reference numeric-token rule: digits*2 >= length
+      lit(2) * length(regexp_replace(col("hn_phrase"), "[^0-9]", "")) >=
+        length(col("hn_phrase"))
+    queries
+      .join(interned, Seq("name"))
+      .withColumn("is_numeric", isNum)
+      .join(children, col("name_id") === col("c_name_id") &&
+        col("hn") === col("hn_phrase") && col("is_numeric"), "left")
+      .select(col("qid"), col("name_id"), col("hn_phrase"),
+        col("is_numeric"), col("hn").isNotNull.as("hn_matched"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q37_housenumber_join" ->
+      """WITH interned AS (
+        |  SELECT lower(p_name) AS name, CAST(min(p_partkey) AS BIGINT) AS name_id
+        |  FROM part GROUP BY 1),
+        |ch AS (
+        |  SELECT DISTINCT i.name_id, CAST(p.p_size AS VARCHAR) AS hn
+        |  FROM part p JOIN interned i ON lower(p.p_name) = i.name),
+        |q AS (
+        |  SELECT p_partkey AS qid, lower(p_name) AS name,
+        |    CASE WHEN p_partkey % 4 = 0 THEN 'xxx' || CAST(p_size AS VARCHAR)
+        |         WHEN p_partkey % 4 = 1 THEN CAST(p_size + 1000 AS VARCHAR)
+        |         ELSE CAST(p_size AS VARCHAR) END AS hn_phrase
+        |  FROM part),
+        |qn AS (
+        |  SELECT qid, name, hn_phrase,
+        |    2 * len(regexp_replace(hn_phrase, '[^0-9]', '', 'g')) >= len(hn_phrase)
+        |      AS is_numeric
+        |  FROM q)
+        |SELECT qid, i.name_id, qn.hn_phrase, qn.is_numeric,
+        |  ch.hn IS NOT NULL AS hn_matched
+        |FROM qn JOIN interned i ON qn.name = i.name
+        |LEFT JOIN ch ON ch.name_id = i.name_id AND ch.hn = qn.hn_phrase
+        |  AND qn.is_numeric""".stripMargin,
     "q36_format_address" ->
       """SELECT s_suppkey,
         |  CASE s_suppkey % 4 WHEN 0 THEN 'FR' WHEN 1 THEN 'US'

@@ -112,20 +112,52 @@ object TextOps {
   // ------------------------------------------------------------ analysis
 
   private val enStop = Seq("the", "a", "and", "of", "to", "value", "data")
-  private val deStop = Seq("der", "die", "das", "und", "von")
 
-  /** Language-ID heuristic: stopword-hit argmax (deterministic tie order
-    * en → de → xx). */
-  def q28LangId(spark: SparkSession, dir: String): DataFrame = {
-    val d = load(spark, dir, "documents")
-      .withColumn("tokens", split(gf.normalize_text(col("text")), " "))
-    val enCnt = size(filter(col("tokens"), t => t.isin(enStop.map(x => x: Any): _*)))
-    val deCnt = size(filter(col("tokens"), t => t.isin(deStop.map(x => x: Any): _*)))
-    d.select(col("doc_id"),
-      when(enCnt >= deCnt && enCnt > 0, lit("en"))
-        .when(deCnt > enCnt, lit("de"))
-        .otherwise(lit("xx")).as("lang_pred"),
-      enCnt.as("en_hits"), deCnt.as("de_hits"))
+  /** Char-trigram language profiles (Cavnar–Trenkle-style, deterministic):
+    * the most frequent DISTINCTIVE space-free trigrams of each language,
+    * derived from its function words. Shared n-grams ("ent", "ion") are
+    * deliberately excluded so profiles discriminate instead of overlap. */
+  private[ops] val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "hat", "tha", "thi", "his", "ith",
+      "wit", "you", "all", "are", "was", "hav", "not", "for", "oul", "uld",
+      "ght", "ere"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ich", "sch", "cht",
+      "den", "ung", "gen", "ber", "hen", "nde", "ist", "auf", "mit", "ach",
+      "eit", "zur"),
+    "fr" -> Seq("les", "des", "que", "est", "une", "ait", "our", "ous",
+      "ans", "dan", "ett", "eur", "ave", "vec", "pas", "sur", "ais", "qui",
+      "dec", "ses"),
+    "es" -> Seq("los", "las", "del", "con", "por", "una", "par", "ara",
+      "ado", "cio", "ion", "nto", "com", "sta", "ien", "aba", "ndo", "ega",
+      "nos", "tra"),
+    "bg" -> Seq("ата", "ите", "ото", "пре", "ста", "ния", "ени", "ато",
+      "ова", "ква", "про", "ост", "ват", "ане", "кат", "ето", "ива", "тел",
+      "раз", "нат"))
+
+  /** Language-ID: per-language distinct-trigram profile hits, argmax with
+    * the deterministic tie order en → de → fr → es → bg → xx. Trigram
+    * extraction is the same one-pass native expression as q12 (linear,
+    * space-free, distinct) so the plan stays codegen'd and scan-shaped. */
+  def q28LangId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(load(spark, dir, "documents"))
+
+  /** The classifier over any (doc_id, text) frame — unit-testable on
+    * multilingual samples (TextAnalysisSpec). */
+  private[graft] def langIdOn(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("tris", trigramStrings(gf.normalize_text(col("text"))))
+    val hits: Seq[(String, Column)] = langProfiles.map { case (lang, prof) =>
+      lang -> size(filter(col("tris"), t => t.isin(prof.map(x => x: Any): _*)))
+    }
+    val withHits = hits.foldLeft(d) { case (df, (lang, c)) =>
+      df.withColumn(s"${lang}_hits", c)
+    }
+    val best = hits.map { case (l, _) => col(s"${l}_hits") }.reduce(greatest(_, _))
+    val pred = hits.foldRight(lit("xx"): Column) { case ((lang, _), els) =>
+      when(col(s"${lang}_hits") === best && best > 0, lit(lang)).otherwise(els)
+    }
+    withHits.select(col("doc_id") +: pred.as("lang_pred") +:
+      langProfiles.map { case (l, _) => col(s"${l}_hits") }: _*)
   }
 
   /** Quality scoring: length/stopword/punct/word-length signals. */
@@ -169,19 +201,60 @@ object TextOps {
           lit(0L),
           (acc, c) => (acc * 31 + c) % 1000000007L).as("fp"))
 
-  /** Multimodal plumbing: a deterministic fake binary payload (md5-derived)
-    * with typed metadata decode. The *decode* is a stub (no image libs in
-    * this sandbox, marked clearly); schema/partitioning/batching are real. */
+  /** Multimodal columns: binary image payloads with REAL format headers
+    * (PNG IHDR / JPEG JFIF+SOF0 / GIF89a screen descriptor), synthesized
+    * deterministically per document, then DECODED back from the bytes —
+    * format sniffed from the magic, dimensions parsed at the
+    * format-specific offsets (big-endian u32 for PNG, marker-scan to
+    * SOF0 then big-endian u16 for JPEG, little-endian u16 for GIF). The
+    * oracle derives the expected dims independently from the md5 digits,
+    * so any wrong decode offset/endianness diverges and fails the gate.
+    * (Full raster decode needs image libs absent from this sandbox; the
+    * header parse is the real, tested part of the decode path.) */
   def q32MediaMeta(spark: SparkSession, dir: String): DataFrame = {
-    val d = load(spark, dir, "documents")
-      .withColumn("h", md5(col("text")))
-      .withColumn("payload", unhex(col("h"))) // STUB decode input: fake 16-byte "image"
+    val d = load(spark, dir, "documents").withColumn("h", md5(col("text")))
     def hexVal(i: Int): Column =
       expr(s"locate(substring(h, $i, 1), '0123456789abcdef') - 1")
-    d.select(col("doc_id"),
+    // deterministic ground truth for the synthesizer only (the decoder
+    // below must recover these from payload BYTES alone)
+    val fmtCode = hexVal(1) % 3
+    val wTrue = hexVal(2) * 16 + hexVal(3) + 1 // 1..256
+    val hTrue = hexVal(4) * 16 + hexVal(5) + 1
+    def beHex(v: Column, bytes: Int): Column = lpad(hex(v), bytes * 2, "0")
+    def leHex16(v: Column): Column = // u16 little-endian
+      concat(lpad(hex(v % 256), 2, "0"), lpad(hex(v.cast("int") / 256), 2, "0"))
+    val payloadHex = when(fmtCode === 0, // PNG: sig + IHDR len + "IHDR" + w u32 BE + h u32 BE
+        concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+          beHex(wTrue, 4), beHex(hTrue, 4)))
+      .when(fmtCode === 1, // JPEG: SOI + APP0/JFIF + SOF0(len 0x11, prec 8, h u16, w u16)
+        concat(lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0" + "0011" + "08"),
+          beHex(hTrue, 2), beHex(wTrue, 2)))
+      .otherwise( // GIF89a: sig + w u16 LE + h u16 LE + flags/bg/aspect
+        concat(lit("474946383961"), leHex16(wTrue), leHex16(hTrue), lit("F70000")))
+    val withPayload = d
+      .withColumn("payload", unhex(payloadHex))
+      .select(col("doc_id"), col("payload"))
+    // ---- the decoder: payload bytes -> (fmt, width, height) ----
+    val ph = upper(hex(col("payload")))
+    def hexAt(pos: Column, nChars: Int): Column = // hex-digit substring -> int
+      conv(substring(ph, pos, lit(nChars)), 16, 10).cast("int")
+    val isPng = substring(ph, 1, 16) === "89504E470D0A1A0A"
+    val isJpeg = substring(ph, 1, 4) === "FFD8"
+    val isGif = substring(ph, 1, 12) === "474946383961"
+    val sof = locate("FFC0", ph) // JPEG marker scan (APP0 JFIF bytes never contain FFC0)
+    withPayload.select(
+      col("doc_id"),
       length(col("payload")).as("payload_len"),
-      (hexVal(1) * 16 + hexVal(2)).as("fake_width"), // STUB: dims derived from hash
-      (hexVal(3) * 16 + hexVal(4)).as("fake_height"))
+      when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
+        .otherwise("unknown").as("fmt"),
+      when(isPng, hexAt(lit(33), 8)) // IHDR: bytes 17-20 BE
+        .when(isJpeg, hexAt(sof + 14, 4)) // SOF0: marker+len+prec+h, then w u16 BE
+        .when(isGif, hexAt(lit(15), 2) * 256 + hexAt(lit(13), 2)) // u16 LE
+        .as("width"),
+      when(isPng, hexAt(lit(41), 8))
+        .when(isJpeg, hexAt(sof + 10, 4))
+        .when(isGif, hexAt(lit(19), 2) * 256 + hexAt(lit(17), 2))
+        .as("height"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -244,18 +317,31 @@ object TextOps {
         |  CAST(levenshtein(a.name, b.name) AS INT) AS lev,
         |  round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9 AS accepted
         |FROM cand JOIN interned a ON a.name_id = p1 JOIN interned b ON b.name_id = p2""".stripMargin,
-    "q28_langid" -> """WITH c AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split(lower(text), ' '),
-        |      t -> t IN ('the','a','and','of','to','value','data'))) AS en_hits,
-        |    len(list_filter(string_split(lower(text), ' '),
-        |      t -> t IN ('der','die','das','und','von'))) AS de_hits
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN en_hits >= de_hits AND en_hits > 0 THEN 'en'
-        |       WHEN de_hits > en_hits THEN 'de' ELSE 'xx' END AS lang_pred,
-        |  CAST(en_hits AS INT) AS en_hits, CAST(de_hits AS INT) AS de_hits
-        |FROM c""".stripMargin,
+    "q28_langid" -> {
+      val profSql = langProfiles.map { case (lang, prof) =>
+        val inList = prof.map(p => s"'$p'").mkString(", ")
+        s"    CAST(sum(CASE WHEN gram IN ($inList) THEN 1 ELSE 0 END) AS INT) AS ${lang}_hits"
+      }.mkString(",\n")
+      val hitCols = langProfiles.map { case (l, _) => s"${l}_hits" }
+      val best = s"greatest(${hitCols.mkString(", ")})"
+      val predCase = langProfiles.map { case (l, _) =>
+        s"    WHEN ${l}_hits = $best AND $best > 0 THEN '$l'"
+      }.mkString("\n")
+      s"""WITH g AS (
+         |  SELECT DISTINCT d.doc_id, substr(lower(d.text), i.i, 3) AS gram
+         |  FROM documents d, LATERAL (SELECT unnest(generate_series(1, len(d.text) - 2)) AS i) i
+         |  WHERE len(d.text) >= 3 AND substr(lower(d.text), i.i, 3) NOT LIKE '% %'),
+         |c AS (
+         |  SELECT doc_id,
+         |$profSql
+         |  FROM g GROUP BY 1)
+         |SELECT d0.doc_id,
+         |  CASE
+         |$predCase
+         |    ELSE 'xx' END AS lang_pred,
+         |  ${hitCols.map(c => s"coalesce($c, 0) AS $c").mkString(", ")}
+         |FROM documents d0 LEFT JOIN c ON c.doc_id = d0.doc_id""".stripMargin
+    },
     "q29_quality" -> """WITH d AS (
         |  SELECT doc_id, lower(text) AS norm, string_split(lower(text), ' ') AS tokens
         |  FROM documents),
@@ -287,12 +373,19 @@ object TextOps {
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents""".stripMargin,
     "q32_media_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(unhex(md5(text))) AS INT) AS payload_len,
-        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-        |    + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS fake_width,
-        |  (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
-        |    + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS fake_height
-        |FROM documents""".stripMargin
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3 AS fmt_code,
+        |    (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS w,
+        |    (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(text), 5, 1)) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE fmt_code WHEN 0 THEN 24 WHEN 1 THEN 29 ELSE 13 END AS INT)
+        |    AS payload_len,
+        |  CASE fmt_code WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height
+        |FROM d""".stripMargin
   )
 }
