@@ -80,7 +80,9 @@ object SparkEntry {
     // per-country address formatting (X14)
     "q36_format_address" -> (Extras.q36FormatAddress _),
     // J3/F9 house-number matching under the numeric-token gate
-    "q37_housenumber_join" -> (Extras.q37HousenumberJoin _)
+    "q37_housenumber_join" -> (Extras.q37HousenumberJoin _),
+    // A6 greedy contextual area assembly (sequential fold as one HOF expr)
+    "q38_area_assembly" -> (Extras.q38AreaAssembly _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -62,6 +62,14 @@ object Pipeline {
       hubFreqRatio: Double = 2.0,
       // skew: salt buckets for the membership-expand join (hot string_ids)
       saltBuckets: Int = 8,
+      // contextual evidence (reference A6 analogue): use co-occurring
+      // mention strings on the same page as a tie-breaking signal in hub
+      // selection. Off by default (costs one bounded co-occurrence join);
+      // needed only for entity spaces denser than the vocabulary-separated
+      // default corpus.
+      contextEvidence: Boolean = false,
+      maxCtxPerPage: Int = 8, // distinct strings per page entering co-occurrence
+      maxCtxPerString: Int = 64, // strongest context neighbors kept per string
       // clustering
       maxIterations: Int = 20,
       workDir: String = "/tmp/graft_er",
@@ -358,7 +366,37 @@ object Pipeline {
     * edit apart — no pairwise distance can separate that from a true
     * pair; the frequency prior can). Transitivity through the hub still
     * connects all same-entity satellites. */
-  def matchEdges(pairs: DataFrame, strings: DataFrame, cfg: Config): DataFrame = {
+  /** Bounded page-co-occurrence context (the reference's area evidence A6,
+    * recast for ER: co-occurring mentions play the role co-occurring
+    * containment areas play in get_suggestions.cc:181-255). Returns
+    * (s, c) — string c co-occurs with string s on at least one page.
+    * Both sides are capped (strings per page, neighbors per string, kept
+    * by co-occurrence count) so the table stays linear in the corpus. */
+  def contextPairs(mentions: DataFrame, strings: DataFrame, cfg: Config): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val pageStrings = mentions.select($"url", $"match_key")
+      .join(strings.select($"match_key", $"string_id"), Seq("match_key"))
+      .select($"url", $"string_id").distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"url").orderBy($"string_id")))
+      .filter($"rn" <= cfg.maxCtxPerPage) // cap: a 1000-mention page is boilerplate
+      .select($"url", $"string_id")
+    pageStrings.as("x")
+      .join(pageStrings.as("y"),
+        $"x.url" === $"y.url" && $"x.string_id" =!= $"y.string_id")
+      .groupBy($"x.string_id".as("s"), $"y.string_id".as("c"))
+      .agg(count(lit(1)).as("n_pages"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"s").orderBy($"n_pages".desc, $"c".asc)))
+      .filter($"rn" <= cfg.maxCtxPerString)
+      .select($"s", $"c")
+  }
+
+  def matchEdges(pairs: DataFrame, strings: DataFrame, cfg: Config,
+      mentions: Option[DataFrame] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val scored = scorePairs(pairs, strings, cfg).filter($"accepted")
@@ -388,11 +426,30 @@ object Pipeline {
     // separation a 1-edit key delta across *different* entities requires
     // two independent typos to collide — the top-1 cap bounds the damage
     // of that rare event to a single satellite's mentions.
-    oriented
+    val eligible = oriented
       .filter($"high_freq" >= lit(cfg.hubFreqRatio) * $"low_freq" || $"sift" <= 1)
+    // Contextual evidence (A6 analogue, optional): when two hubs tie on
+    // distance AND frequency — the exact case no pairwise string score can
+    // separate — the satellite goes to the hub sharing page-co-occurrence
+    // context with it (shared co-occurring strings, e.g. a city mentioned
+    // alongside both). Context RANKS, it never creates or vetoes an edge.
+    val ranked = (mentions, cfg.contextEvidence) match {
+      case (Some(m), true) =>
+        val ctx = contextPairs(m, strings, cfg)
+        val overlap = eligible.select($"low", $"high").distinct()
+          .join(ctx.select($"s".as("low"), $"c"), Seq("low"))
+          .join(ctx.select($"s".as("high"), $"c"), Seq("high", "c"))
+          .groupBy($"low", $"high").agg(count(lit(1)).as("ctx_cnt"))
+        eligible
+          .join(overlap, Seq("low", "high"), "left")
+          .withColumn("ctx_cnt", coalesce($"ctx_cnt", lit(0L)))
+      case _ => eligible.withColumn("ctx_cnt", lit(0L))
+    }
+    ranked
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy($"low").orderBy($"sift".asc, $"high_freq".desc, $"high".asc)))
+          .partitionBy($"low").orderBy(
+            $"sift".asc, $"ctx_cnt".desc, $"high_freq".desc, $"high".asc)))
       .filter($"rnk" === 1)
       .select($"low".as("src"), $"high".as("dst"))
   }
@@ -732,7 +789,8 @@ object Pipeline {
     val nStrings = timed("intern")(if (cfg.collectStats) strings.count() else -1L)
 
     val (pairs, stats) = timed("blocking")(candidatePairs(strings, cfg))
-    val accepted = matchEdges(pairs, strings, cfg)
+    val accepted = matchEdges(pairs, strings, cfg,
+        if (cfg.contextEvidence) Some(mentions) else None)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nAccepted = timed("scoring")(if (cfg.collectStats) accepted.count() else -1L)
 

@@ -190,6 +190,87 @@ object Extras {
         col("is_numeric"), col("hn").isNotNull.as("hn_matched"))
   }
 
+  import org.apache.spark.sql.Column
+
+  /** A6 greedy per-group argmin area assembly (reference
+    * get_suggestions.cc:181-255): phrases are folded IN ORDER; a phrase
+    * whose token bits overlap the accumulated matched-token mask is
+    * skipped; otherwise the areas of the entity's set are scored and the
+    * argmin area (first index wins ties, strict `>` in the reference)
+    * accumulates its bit into the matched-areas mask, its score minus the
+    * population bonus (pop/1e7·2, get_suggestions.cc:240-244) into the
+    * penalty, and the phrase's bits into the token mask. Zip-level areas
+    * (admin level 12) only match numeric phrases (F9). The whole fold is
+    * ONE codegen-able expression: `aggregate` over the phrase array with
+    * a struct accumulator and a nested `array_min` argmin — no UDF, no
+    * shuffle beyond the input scan.
+    *
+    * Score here is the bounded-Levenshtein gate 2·lev ≤ min(len) (the
+    * simplified X6 reject band, score.h:132-134); the full reference
+    * scorer lives in text.MatchScore/q16. */
+  def greedyAreaAssembly(phrases: Column, areas: Column): Column = {
+    val init = struct(lit(0L).as("tok"), lit(0L).as("amask"), lit(0.0d).as("dist"))
+    val NoMatch = 1e9d
+    aggregate(phrases, init, (acc, p) => {
+      val isNum = lit(2) * length(regexp_replace(p("s"), "[^0-9]", "")) >=
+        length(p("s"))
+      val scored = transform(sequence(lit(1), size(areas)), i => {
+        val a = element_at(areas, i)
+        val lev = levenshtein(p("s"), a("name"))
+        val minLen = least(length(p("s")), length(a("name")))
+        val ok = (a("level") =!= 12 || isNum) && (lev * 2 <= minLen)
+        struct(when(ok, lev.cast("double")).otherwise(lit(NoMatch)).as("score"),
+          i.cast("int").as("idx"))
+      })
+      val best = array_min(scored) // lexicographic (score, idx): first min wins
+      val bestArea = element_at(areas, best("idx"))
+      val matched = (p("bits").bitwiseAND(acc("tok")) === 0) &&
+        best("score") < NoMatch
+      when(matched, struct(
+        acc("tok").bitwiseOR(p("bits")).as("tok"),
+        acc("amask").bitwiseOR(
+          pow(lit(2.0d), best("idx") - 1).cast("long")).as("amask"),
+        (acc("dist") + best("score") -
+          bestArea("pop").cast("double") * 2.0d / 1e7).as("dist")))
+        .otherwise(acc)
+    })
+  }
+
+  /** A6 as an oracle-checked query: each customer is a query whose phrase
+    * list is [nation-name variant (exact / 1-char-dropped / garbage),
+    * numeric zip candidate, region name] with deliberately OVERLAPPING
+    * token bits (1, 2, 5) against its nation⊂region⊂zip area chain — so
+    * the region phrase is greedily skipped exactly when the nation phrase
+    * matched first, which no order-free per-phrase min can reproduce. */
+  def q38AreaAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val n = load(spark, dir, "nation")
+    val r = load(spark, dir, "region")
+    val joined = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val nName = lower(col("n_name"))
+    val rName = lower(col("r_name"))
+    val p1 = when(col("c_custkey") % 3 === 0, nName)
+      .when(col("c_custkey") % 3 === 1,
+        substring(nName, lit(1), length(nName) - 1))
+      .otherwise(lit("zzz"))
+    val phrases = array(
+      struct(p1.as("s"), lit(1L).as("bits")),
+      struct((col("c_custkey") % 100).cast("string").as("s"), lit(2L).as("bits")),
+      struct(rName.as("s"), lit(5L).as("bits")))
+    val areas = array(
+      struct(nName.as("name"), lit(4).as("level"),
+        ((col("n_nationkey") * 500000) % 8000000).cast("long").as("pop")),
+      struct(rName.as("name"), lit(2).as("level"), lit(0L).as("pop")),
+      struct(((col("c_nationkey") * 37) % 100).cast("string").as("name"),
+        lit(12).as("level"), lit(0L).as("pop")))
+    val res = greedyAreaAssembly(phrases, areas)
+    joined.select(col("c_custkey").as("qid"),
+      res("tok").as("matched_tokens_mask"),
+      res("amask").as("matched_areas_mask"),
+      round(res("dist"), 4).as("areas_dist"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q37_housenumber_join" ->
       """WITH interned AS (
@@ -214,6 +295,89 @@ object Extras {
         |FROM qn JOIN interned i ON qn.name = i.name
         |LEFT JOIN ch ON ch.name_id = i.name_id AND ch.hn = qn.hn_phrase
         |  AND qn.is_numeric""".stripMargin,
+    // A6 greedy fold, unrolled to scalar SQL: the query's phrase and area
+    // lists are fixed length 3, so each greedy step becomes one CTE with
+    // explicit argmin-by-(score, index) and mask updates — an exact mirror
+    // of the Spark `aggregate` fold.
+    "q38_area_assembly" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS qid,
+        |    CASE WHEN c_custkey % 3 = 0 THEN lower(n_name)
+        |         WHEN c_custkey % 3 = 1 THEN substr(lower(n_name), 1, CAST(len(n_name) AS INT) - 1)
+        |         ELSE 'zzz' END AS p1,
+        |    CAST(c_custkey % 100 AS VARCHAR) AS p2,
+        |    lower(r_name) AS p3,
+        |    lower(n_name) AS a1, lower(r_name) AS a2,
+        |    CAST((c_nationkey * 37) % 100 AS VARCHAR) AS a3,
+        |    CAST((n_nationkey * 500000) % 8000000 AS BIGINT) AS pop1
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |s AS (
+        |  SELECT *,
+        |    CASE WHEN 2 * levenshtein(p1, a1) <= least(len(p1), len(a1))
+        |      THEN CAST(levenshtein(p1, a1) AS DOUBLE) ELSE 1e9 END AS s11,
+        |    CASE WHEN 2 * levenshtein(p1, a2) <= least(len(p1), len(a2))
+        |      THEN CAST(levenshtein(p1, a2) AS DOUBLE) ELSE 1e9 END AS s12,
+        |    1e9 AS s13,
+        |    CASE WHEN 2 * levenshtein(p2, a1) <= least(len(p2), len(a1))
+        |      THEN CAST(levenshtein(p2, a1) AS DOUBLE) ELSE 1e9 END AS s21,
+        |    CASE WHEN 2 * levenshtein(p2, a2) <= least(len(p2), len(a2))
+        |      THEN CAST(levenshtein(p2, a2) AS DOUBLE) ELSE 1e9 END AS s22,
+        |    CASE WHEN 2 * levenshtein(p2, a3) <= least(len(p2), len(a3))
+        |      THEN CAST(levenshtein(p2, a3) AS DOUBLE) ELSE 1e9 END AS s23,
+        |    CASE WHEN 2 * levenshtein(p3, a1) <= least(len(p3), len(a1))
+        |      THEN CAST(levenshtein(p3, a1) AS DOUBLE) ELSE 1e9 END AS s31,
+        |    CASE WHEN 2 * levenshtein(p3, a2) <= least(len(p3), len(a2))
+        |      THEN CAST(levenshtein(p3, a2) AS DOUBLE) ELSE 1e9 END AS s32,
+        |    1e9 AS s33
+        |  FROM base),
+        |t1 AS (
+        |  SELECT *, least(s11, s12, s13) AS m1,
+        |    CASE WHEN s11 = least(s11, s12, s13) THEN 1
+        |         WHEN s12 = least(s11, s12, s13) THEN 2 ELSE 3 END AS i1,
+        |    least(s11, s12, s13) < 1e9 AS ok1
+        |  FROM s),
+        |u1 AS (
+        |  SELECT *,
+        |    CASE WHEN ok1 THEN 1 ELSE 0 END AS tok1,
+        |    CASE WHEN ok1 THEN 1 << (i1 - 1) ELSE 0 END AS am1,
+        |    CASE WHEN ok1 THEN m1
+        |      - (CASE WHEN i1 = 1 THEN pop1 ELSE 0 END) * 2.0 / 10000000.0
+        |      ELSE 0.0 END AS d1
+        |  FROM t1),
+        |t2 AS (
+        |  SELECT *, least(s21, s22, s23) AS m2,
+        |    CASE WHEN s21 = least(s21, s22, s23) THEN 1
+        |         WHEN s22 = least(s21, s22, s23) THEN 2 ELSE 3 END AS i2,
+        |    (2 & tok1) = 0 AND least(s21, s22, s23) < 1e9 AS ok2
+        |  FROM u1),
+        |u2 AS (
+        |  SELECT *,
+        |    tok1 + CASE WHEN ok2 THEN 2 ELSE 0 END AS tok2,
+        |    am1 | CASE WHEN ok2 THEN 1 << (i2 - 1) ELSE 0 END AS am2,
+        |    d1 + CASE WHEN ok2 THEN m2
+        |      - (CASE WHEN i2 = 1 THEN pop1 ELSE 0 END) * 2.0 / 10000000.0
+        |      ELSE 0.0 END AS d2
+        |  FROM t2),
+        |t3 AS (
+        |  SELECT *, least(s31, s32, s33) AS m3,
+        |    CASE WHEN s31 = least(s31, s32, s33) THEN 1
+        |         WHEN s32 = least(s31, s32, s33) THEN 2 ELSE 3 END AS i3,
+        |    (5 & tok2) = 0 AND least(s31, s32, s33) < 1e9 AS ok3
+        |  FROM u2),
+        |u3 AS (
+        |  SELECT *,
+        |    tok2 + CASE WHEN ok3 THEN 5 ELSE 0 END AS tok3,
+        |    am2 | CASE WHEN ok3 THEN 1 << (i3 - 1) ELSE 0 END AS am3,
+        |    d2 + CASE WHEN ok3 THEN m3
+        |      - (CASE WHEN i3 = 1 THEN pop1 ELSE 0 END) * 2.0 / 10000000.0
+        |      ELSE 0.0 END AS d3
+        |  FROM t3)
+        |SELECT qid, CAST(tok3 AS BIGINT) AS matched_tokens_mask,
+        |  CAST(am3 AS BIGINT) AS matched_areas_mask,
+        |  round(d3, 4) AS areas_dist
+        |FROM u3""".stripMargin,
     "q36_format_address" ->
       """SELECT s_suppkey,
         |  CASE s_suppkey % 4 WHEN 0 THEN 'FR' WHEN 1 THEN 'US'

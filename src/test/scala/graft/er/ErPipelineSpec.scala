@@ -111,6 +111,57 @@ class ErPipelineSpec extends AnyFunSuite {
     assert(mFull.size == mPart.size + mResumed.size)
   }
 
+  test("context evidence disambiguates an equidistant satellite (A6 analogue)") {
+    // Two entities whose canonical keys are 2 edits apart (so no direct
+    // edge links them: sift 2 needs the freq-ratio gate, and freqs are
+    // equal) and a typo satellite exactly 1 edit from EACH. Distance and
+    // frequency are both ties — no pairwise string score can choose. The
+    // satellite's page co-mentions entity A's city, so context must send
+    // it to A.
+    val a = "bergstrasse" // key A
+    val b = "burgstrosse" // key B (2 subs from A)
+    val mid = "burgstrasse" // 1 edit from A (e->u), 1 from B (a->o)
+    val idA = Pipeline.stringIdHash(a)
+    val idB = Pipeline.stringIdHash(b)
+    // context city is attached to the hub the id-tiebreak would NOT pick,
+    // so a context-blind run provably chooses the other hub
+    val (ctxName, otherName) =
+      if (idA < idB) ("Darmstadt", "Berlin") else ("Berlin", "Darmstadt")
+    val ctxHub = if (idA < idB) b else a // larger id = not the id-tiebreak pick
+    val hubName = if (ctxHub == a) "Bergstrasse" else "Burgstrosse"
+    val otherHubName = if (ctxHub == a) "Burgstrosse" else "Bergstrasse"
+    val pages = ((1 to 5).map(i =>
+      (s"https://x.example/hub$i", "de", s"loc: $hubName\nloc: $ctxName\n")) ++
+      (1 to 5).map(i =>
+        (s"https://x.example/other$i", "de", s"loc: $otherHubName\nloc: $otherName\n")) ++
+      Seq(("https://x.example/sat", "de", s"loc: Burgstrasse\nloc: $ctxName\n")))
+      .toDF("url", "lang", "text")
+    val cfg = Pipeline.Config(contextEvidence = true, workDir = freshDir("ctx"))
+    val mentions = Pipeline.extractMentions(pages).cache()
+    val (strings, _) = Pipeline.internStrings(mentions)
+    val (pairs, _) = Pipeline.candidatePairs(strings, cfg)
+    val idMid = Pipeline.stringIdHash(mid)
+    val idCtxHub = Pipeline.stringIdHash(ctxHub)
+    val idOtherHub = Pipeline.stringIdHash(if (ctxHub == a) b else a)
+
+    // context-blind: the satellite goes to the smaller-id hub (pure tie)
+    val blind = Pipeline.matchEdges(pairs, strings, cfg.copy(contextEvidence = false))
+      .filter($"src" === idMid).collect()
+    assert(blind.length == 1 && blind(0).getLong(1) == math.min(idCtxHub, idOtherHub),
+      s"context-blind tie-break should pick the smaller id: ${blind.toSeq}")
+
+    // with context: the satellite must go to the hub sharing its city
+    val ctxEdges = Pipeline.matchEdges(pairs, strings, cfg, Some(mentions))
+      .filter($"src" === idMid).collect()
+    assert(ctxEdges.length == 1 && ctxEdges(0).getLong(1) == idCtxHub,
+      s"context should route the satellite to the co-occurring hub: ${ctxEdges.toSeq}")
+    // and no direct edge may fuse the two entities
+    val fused = Pipeline.matchEdges(pairs, strings, cfg, Some(mentions))
+      .filter(($"src" === idCtxHub && $"dst" === idOtherHub) ||
+        ($"src" === idOtherHub && $"dst" === idCtxHub)).count()
+    assert(fused == 0, "entities two edits apart with equal freq must not link")
+  }
+
   test("blocking stats are reported (no silent caps)") {
     val cfg = Pipeline.Config(seed = 42L, nPages = 400, nEntities = 80,
       workDir = freshDir("stats"))
