@@ -82,7 +82,11 @@ object SparkEntry {
     // J3/F9 house-number matching under the numeric-token gate
     "q37_housenumber_join" -> (Extras.q37HousenumberJoin _),
     // A6 greedy contextual area assembly (sequential fold as one HOF expr)
-    "q38_area_assembly" -> (Extras.q38AreaAssembly _)
+    "q38_area_assembly" -> (Extras.q38AreaAssembly _),
+    // the full composed get_suggestions lifecycle (stages 4-10) — rows-only
+    // check (reference scorer inside, no SQL analogue; goldens in
+    // SuggestSpec mirror cyrillic_test.cc fixtures)
+    "q39_suggest" -> (er.Suggest.q39Suggest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,239 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{functions => gf}
+
+/** The full `get_suggestions` lifecycle (reference §3.1,
+  * /root/reference/src/get_suggestions.cc:607-773) composed as ONE batch
+  * DataFrame DAG over a query table — stages 4-10 of the reference's
+  * per-query flow become shuffle-bounded relational stages over ALL
+  * queries at once:
+  *
+  *  4. candidate generation: query-trigram ⋈ name-trigram index, posting
+  *     count + min-match-count + cos² ≥ 0.17 cut, top-6000 per query
+  *     (typeahead.cc:372-439, kMaxMatches typeahead.cc:428)
+  *  5. string×phrase score matrix with the reference scorer
+  *     (get_suggestions.cc:494-508; scorer score.h:162-269 — the
+  *     byte-exact `RefMatchScore` codegen expression, NULL = kNoMatch)
+  *  6. street/place split from one candidate set, bounded top-10000 per
+  *     branch (get_suggestions.cc:510-605, kMaxScoredMatches :27)
+  *  7. streets: house-number matching under the numeric-phrase gate
+  *     (J3/F9, get_suggestions.cc:134-169) + greedy area assembly (A6,
+  *     :181-255 — the `Extras.greedyAreaAssembly` fold) + bonuses (X12)
+  *  8. places: category prior (X8), population score (X9), language
+  *     preference (X11) + the same area assembly (:331-492)
+  * 10. duplicate marking over (query, location) (K5, :703-731) and
+  *     final top-n (K3, :733-743)
+  *
+  * (Stage 9 — distance bias / bbox — needs a caller-supplied coordinate
+  * and is covered by q34's tier/range operators.)
+  *
+  * Scale shape: every join is an equi-join on (gram | query_id |
+  * entity_id); hot grams are capped (ops.Dedup.MaxBlock); every per-query
+  * stream is bounded by the reference's own caps before the next stage.
+  */
+object Suggest {
+
+  val MaxCandidates = 6000 // K1 cap, typeahead.cc:428
+  val MaxScored = 10000 // K2 cap per branch, get_suggestions.cc:27
+  val MaxTokens = 8 // types.h:142
+  val MaxPhraseLen = 4
+
+  private def isNumToken(t: Column): Column = // normalize.h:192-206
+    lit(2) * length(regexp_replace(t, "[^0-9]", "")) >= length(t)
+
+  private def byteLen(c: Column): Column = octet_length(c)
+
+  /** Driver-facing composed query (rows-only check — the reference scorer
+    * at its heart has no SQL analogue, same omission class as q16; the
+    * fixture-level goldens live in SuggestSpec): part names become
+    * streets with their size values as house numbers, suppliers become
+    * places with category/population/language attributes, and queries are
+    * "name size" probes sampled from parts. */
+  def q39Suggest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val p = graft.ops.Tables.load(spark, dir, "part")
+      .withColumn("nname", gf.normalize_text(col("p_name")))
+    val streets = p.groupBy(col("nname"))
+      .agg(min(col("p_partkey")).cast("long").as("entity_id"),
+        min(col("p_name")).as("name"),
+        sort_array(collect_set(col("p_size").cast("string"))).as("house_numbers"),
+        lower(min(col("p_brand"))).as("mfgr"))
+      .select(col("entity_id"), col("name"), lit("street").as("kind"),
+        lit("").as("category"), lit(0L).as("population"),
+        lit("default").as("name_lang"), col("entity_id").as("location"),
+        array(struct(col("mfgr").as("name"), lit(4).as("level"),
+          lit(0L).as("pop"))).as("areas"),
+        col("house_numbers"))
+    val s = graft.ops.Tables.load(spark, dir, "supplier")
+    val places = s.select(
+      (col("s_suppkey") + 10000000L).cast("long").as("entity_id"),
+      col("s_name").as("name"), lit("place").as("kind"),
+      when(col("s_suppkey") % 5 === 0, "city").when(col("s_suppkey") % 5 === 1, "town")
+        .when(col("s_suppkey") % 5 === 2, "village")
+        .when(col("s_suppkey") % 5 === 3, "locality").otherwise("none").as("category"),
+      ((col("s_suppkey") * 1234) % 600000).cast("long").as("population"),
+      when(col("s_suppkey") % 3 === 0, "default").when(col("s_suppkey") % 3 === 1, "de")
+        .otherwise("xx").as("name_lang"),
+      (col("s_suppkey") + 10000000L).cast("long").as("location"),
+      array().cast("array<struct<name:string,level:int,pop:bigint>>").as("areas"),
+      array().cast("array<string>").as("house_numbers"))
+    val entities = streets.unionByName(places)
+    val queries = p.filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey").cast("long").as("query_id"),
+        concat(col("p_name"), lit(" "), col("p_size").cast("string")).as("text"))
+    suggest(queries, entities)
+  }
+
+  /** queries(query_id: long, text: string)
+    * entities(entity_id: long, name: string, kind: 'street'|'place',
+    *   category: string, population: long, name_lang: string,
+    *   location: long, areas: array<struct<name,level,pop>>,
+    *   house_numbers: array<string>)
+    * → ranked suggestions per query. */
+  def suggest(queries: DataFrame, entities: DataFrame, topN: Int = 10,
+      userLangs: Seq[String] = Seq("default")): DataFrame = {
+
+    // ---- stages 1-3: tokenize, phrase windows (G2/G3; alternates are
+    // handled by match-key canonicalization in this engine, MatchKeys)
+    val phraseArr = {
+      val toks = col("tokens")
+      flatten(transform(sequence(lit(1), size(toks)), frm =>
+        transform(sequence(lit(1), least(lit(MaxPhraseLen), size(toks) - frm + 1)), len => {
+          val words = slice(toks, frm, len)
+          struct(
+            concat_ws(" ", words).as("s"),
+            ((pow(lit(2.0d), len) - 1) * pow(lit(2.0d), frm - 1)).cast("long").as("bits"),
+            forall(words, isNumToken).as("is_num"))
+        })))
+    }
+    val q = queries
+      .withColumn("norm", gf.normalize_text(col("text")))
+      .filter(length(col("norm")) >= 2) // F5 min-length gate
+      .withColumn("tokens", slice(split(col("norm"), " "), 1, MaxTokens))
+      .withColumn("all_mask", (pow(lit(2.0d), size(col("tokens"))) - 1).cast("long"))
+      .withColumn("phrases", phraseArr)
+
+    // ---- stage 4: candidate generation (A1/A2/A3/J1/K1)
+    val names = entities.select(col("entity_id"), col("name"))
+      .withColumn("tris", gf.trigram_strings(gf.normalize_text(col("name"))))
+      .withColumn("n_grams", size(col("tris")))
+    val nameKeyed = names
+      .select(col("entity_id"), col("n_grams"), explode(col("tris")).as("gram"))
+    val keptGrams = nameKeyed.groupBy(col("gram")) // hot-gram cap (scale rule)
+      .agg(count(lit(1)).as("gcnt"))
+      .filter(col("gcnt") <= graft.ops.Dedup.MaxBlock)
+      .select(col("gram"))
+    val qGrams = q.select(col("query_id"),
+      explode(gf.trigram_strings(col("norm"))).as("gram"))
+    val qN = q.select(col("query_id"),
+      size(gf.trigram_strings(col("norm"))).as("n_q"))
+    val counted = qGrams
+      .join(nameKeyed.join(keptGrams, Seq("gram")), Seq("gram"))
+      .groupBy(col("query_id"), col("entity_id"))
+      .agg(count(lit(1)).as("shared"), first(col("n_grams")).as("n_grams"))
+      .join(qN, Seq("query_id"))
+    val minN = least(col("n_q"), col("n_grams")).cast("int")
+    val mmc = lit(2) + floor(minN / (lit(4) + floor(minN / lit(10))))
+    val candidates = counted
+      .filter(col("shared") >= mmc.cast("long") &&
+        (col("shared") * col("shared")).cast("double") >= lit(0.17) * col("n_q") * col("n_grams"))
+      .withColumn("cos2",
+        (col("shared") * col("shared")).cast("double") / (col("n_q") * col("n_grams")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos2").desc, col("entity_id"))))
+      .filter(col("crnk") <= MaxCandidates) // K1
+      .select(col("query_id"), col("entity_id"))
+
+    // ---- stage 5: string × phrase score matrix (A4, scorer X6)
+    val phrases = q.select(col("query_id"),
+      posexplode(col("phrases")).as(Seq("pidx", "p")))
+    val matrix = candidates
+      .join(entities.select(col("entity_id"), col("name")), Seq("entity_id"))
+      .join(phrases, Seq("query_id"))
+      .withColumn("pscore", gf.ref_match_score(col("name"), col("p.s")))
+      .filter(col("pscore").isNotNull) // kNoMatch candidates drop out
+    val bestPhrase = matrix
+      .groupBy(col("query_id"), col("entity_id"))
+      .agg(min(struct(col("pscore").as("score"), col("pidx"),
+        col("p.bits").as("bits"))).as("b"))
+
+    // ---- stage 6: attach entity attrs, split branches, K2 bound
+    val scored = bestPhrase
+      .join(entities, Seq("entity_id"))
+      .join(q.select(col("query_id"), col("tokens"), col("all_mask"),
+        col("phrases")), Seq("query_id"))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy(col("query_id"), col("kind"))
+          .orderBy(col("b.score").asc, col("entity_id"))))
+      .filter(col("srnk") <= MaxScored) // K2
+
+    // ---- stage 7: street house numbers (J3 under the F9 numeric gate)
+    val hns = entities.filter(col("kind") === "street")
+      .select(col("entity_id"), explode(col("house_numbers")).as("hn"))
+    val hnBest = scored.filter(col("kind") === "street")
+      .select(col("query_id"), col("entity_id"))
+      .join(phrases.filter(col("p.is_num")), Seq("query_id")) // numeric phrases only
+      .join(hns, Seq("entity_id"))
+      .withColumn("hn_score", gf.ref_match_score(col("hn"), col("p.s")))
+      .filter(col("hn_score").isNotNull)
+      .groupBy(col("query_id"), col("entity_id"))
+      .agg(min(struct(col("hn_score").as("score"), col("pidx"),
+        col("p.bits").as("bits"), col("hn"))).as("h"))
+
+    // ---- stages 7/8: area assembly (A6) + branch bonuses (X8-X12)
+    val withHn = scored.join(hnBest, Seq("query_id", "entity_id"), "left")
+    val maskAfterHn = when(col("h").isNotNull,
+      col("b.bits").bitwiseOR(col("h.bits"))).otherwise(col("b.bits"))
+    val assembled = withHn
+      .withColumn("pre_mask", maskAfterHn)
+      .withColumn("ar", graft.ops.Extras.greedyAreaAssembly(
+        col("phrases"), col("areas"), col("pre_mask")))
+    val finalMask = col("ar")("tok")
+    val unmatchedPenalty = aggregate( // +3·len per uncovered query token
+      sequence(lit(1), size(col("tokens"))), lit(0.0d),
+      (acc, i) => acc + when(
+        finalMask.bitwiseAND(pow(lit(2.0d), i - 1).cast("long")) === 0,
+        byteLen(element_at(col("tokens"), i)).cast("double") * 3.0d).otherwise(0.0d))
+    val areaBonus = col("ar")("dist") -
+      lit(2.0d) * bit_count(col("ar")("amask")).cast("double") // X12 per-area -2
+    val hnBonus = when(col("h").isNotNull,
+      col("h")("score").cast("double") - 5.0d).otherwise(0.0d) // X12 HN -5
+    val fullCover = when(finalMask === col("all_mask"),
+      when(col("kind") === "street", -3.0d).otherwise(-2.5d)).otherwise(0.0d)
+    val categoryPrior = when(col("kind") =!= "place", 0.0d) // X8
+      .when(col("category") === "city", 3.0d)
+      .when(col("category") === "town", 2.0d)
+      .when(col("category") === "village", 1.0d)
+      .when(col("category") === "locality", -2.5d)
+      .otherwise(-3.0d)
+    val popScore = when(col("kind") === "place", // X9 clamp(pop/200k, 0, 3)
+      least(lit(3.0d), greatest(lit(0.0d),
+        col("population").cast("double") / 200000.0d))).otherwise(0.0d)
+    val langIdx = userLangs.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((l, i), els) => when(col("name_lang") === l, lit(i)).otherwise(els)
+    }
+    val langScore = when(col("kind") =!= "place", 0.0d) // X11
+      .when(langIdx === 0, 0.5d).when(langIdx > 0, 0.25d).otherwise(-0.1d)
+    val total = col("b")("score").cast("double") + hnBonus + areaBonus +
+      fullCover + unmatchedPenalty - categoryPrior - popScore - langScore
+
+    // ---- stage 10: duplicate marking (K5) + final top-n (K3)
+    val preRank = assembled.withColumn("score", total)
+      .withColumn("matched_hn", col("h")("hn"))
+      .select(col("query_id"), col("entity_id"), col("kind"), col("name"),
+        col("location"), col("score"), col("matched_hn"))
+    preRank
+      .withColumn("is_duplicate", row_number().over(
+        Window.partitionBy(col("query_id"), col("location"))
+          .orderBy(col("score").asc, col("entity_id"))) > 1)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(
+          col("is_duplicate").asc, col("score").asc, col("entity_id"))))
+      .filter(col("rank") <= topN)
+      .select(col("query_id"), col("rank"), col("entity_id"), col("kind"),
+        col("name"), round(col("score"), 4).as("score"),
+        col("is_duplicate"), col("matched_hn"))
+  }
+}

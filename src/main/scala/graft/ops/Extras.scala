@@ -208,10 +208,17 @@ object Extras {
     * Score here is the bounded-Levenshtein gate 2·lev ≤ min(len) (the
     * simplified X6 reject band, score.h:132-134); the full reference
     * scorer lives in text.MatchScore/q16. */
-  def greedyAreaAssembly(phrases: Column, areas: Column): Column = {
-    val init = struct(lit(0L).as("tok"), lit(0L).as("amask"), lit(0.0d).as("dist"))
+  def greedyAreaAssembly(phrases: Column, areas: Column): Column =
+    greedyAreaAssembly(phrases, areas, lit(0L))
+
+  /** Variant seeding the token mask with the item's already-matched bits
+    * (reference: `matched_tokens_mask = item_matched_mask`,
+    * get_suggestions.cc:182). */
+  def greedyAreaAssembly(phrases: Column, areas: Column, initMask: Column): Column = {
+    val init = struct(initMask.cast("long").as("tok"), lit(0L).as("amask"),
+      lit(0.0d).as("dist"))
     val NoMatch = 1e9d
-    aggregate(phrases, init, (acc, p) => {
+    val folded = aggregate(phrases, init, (acc, p) => {
       val isNum = lit(2) * length(regexp_replace(p("s"), "[^0-9]", "")) >=
         length(p("s"))
       val scored = transform(sequence(lit(1), size(areas)), i => {
@@ -234,6 +241,10 @@ object Extras {
           bestArea("pop").cast("double") * 2.0d / 1e7).as("dist")))
         .otherwise(acc)
     })
+    // entities without areas: identity result (the when short-circuits the
+    // fold, so element_at never probes the empty array under ANSI mode)
+    when(size(areas) === 0 || phrases.isNull || areas.isNull, init)
+      .otherwise(folded)
   }
 
   /** A6 as an oracle-checked query: each customer is a query whose phrase

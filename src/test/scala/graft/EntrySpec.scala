@@ -13,7 +13,9 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query name has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q15_metaphone", "q16_match_score"), noOracle)
+    // q15/q16/q39 embed Double Metaphone / the reference scorer — no SQL
+    // analogue; pinned by ScalaTest goldens (TextGoldenSpec, SuggestSpec)
+    assert(noOracle == Set("q15_metaphone", "q16_match_score", "q39_suggest"), noOracle)
     // no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

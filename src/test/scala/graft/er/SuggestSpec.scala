@@ -1,0 +1,83 @@
+package graft.er
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SparkTestSession
+
+/** Goldens for the composed get_suggestions DAG, mirroring the reference's
+  * end-to-end fixture expectations (/root/reference/test/cyrillic_test.cc):
+  *  - guess_cyrillic_exact_match (:27-43): exact Cyrillic query is among
+  *    the candidates / ranks first
+  *  - addr_place_block_address (:49-71): "Славейков 26" resolves to
+  *    "ж.к. П. Р. Славейков" with house number "бл. 26" via sub-phrase
+  *    matching of the numeric token
+  *  - extract_and_suggest_cyrillic (:73-89): village "Индже войвода"
+  *    is top-1 for its own name
+  */
+case class Area(name: String, level: Int, pop: Long)
+case class Ent(entity_id: Long, name: String, kind: String, category: String,
+    population: Long, name_lang: String, location: Long,
+    areas: Seq[Area], house_numbers: Seq[String])
+
+class SuggestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(queries: Seq[(Long, String)], ents: Seq[Ent]) =
+    Suggest.suggest(
+      queries.toDF("query_id", "text"), ents.toDS().toDF())
+      .orderBy($"query_id", $"rank").collect()
+
+  test("cyrillic exact match is the top candidate (cyrillic_test.cc:27-43)") {
+    val ents = Seq(
+      Ent(1, "Индже войвода", "place", "village", 300, "default", 1, Nil, Nil),
+      Ent(2, "София", "place", "city", 1200000, "default", 2, Nil, Nil),
+      Ent(3, "Aschaffenburg", "place", "city", 70000, "default", 3, Nil, Nil))
+    val rows = run(Seq((1L, "Индже войвода")), ents)
+    assert(rows.nonEmpty, "no suggestions returned")
+    assert(rows.head.getAs[String]("name") == "Индже войвода",
+      s"top-1 was ${rows.head}")
+  }
+
+  test("block address: numeric token matches house number via sub-phrase " +
+      "(cyrillic_test.cc:49-71)") {
+    val ents = Seq(
+      Ent(10, "ж.к. П. Р. Славейков", "street", "", 0, "default", 10, Nil,
+        Seq("бл. 26", "бл. 27", "бл. 30")),
+      Ent(11, "Славейно", "place", "village", 500, "default", 11, Nil, Nil),
+      Ent(12, "Изгрев", "street", "", 0, "default", 12, Nil, Seq("1", "2")))
+    val rows = run(Seq((1L, "Славейков 26")), ents)
+    assert(rows.nonEmpty, "no suggestions returned")
+    val top = rows.head
+    assert(top.getAs[String]("name") == "ж.к. П. Р. Славейков", s"top-1 was $top")
+    assert(top.getAs[String]("matched_hn") == "бл. 26",
+      s"house number not resolved: $top")
+  }
+
+  test("end-to-end cyrillic suggest: exact village name wins " +
+      "(cyrillic_test.cc:73-89)") {
+    val ents = Seq(
+      Ent(20, "Индже войвода", "place", "village", 300, "default", 20,
+        Seq(Area("бургас", 4, 400000)), Nil),
+      Ent(21, "Индже войвода", "street", "", 0, "default", 21, Nil, Seq("3")),
+      Ent(22, "Война", "place", "village", 100, "default", 22, Nil, Nil))
+    val rows = run(Seq((1L, "Индже войвода")), ents)
+    assert(rows.nonEmpty, "no suggestions returned")
+    assert(rows.head.getAs[String]("name") == "Индже войвода",
+      s"top-1 was ${rows.head}")
+  }
+
+  test("greedy area evidence lowers the score of the contextual entity") {
+    // two identically-named streets; only one lies in "бургас" — the query
+    // mentioning the area must rank that one first (A6 evidence)
+    val ents = Seq(
+      Ent(30, "Лилава улица", "street", "", 0, "default", 30,
+        Seq(Area("бургас", 4, 400000)), Nil),
+      Ent(31, "Лилава улица", "street", "", 0, "default", 31,
+        Seq(Area("софия", 4, 1200000)), Nil))
+    val rows = run(Seq((1L, "Лилава улица бургас")), ents)
+    assert(rows.nonEmpty, "no suggestions returned")
+    assert(rows.head.getAs[Long]("entity_id") == 30L,
+      s"area evidence ignored: ${rows.toSeq}")
+  }
+}
