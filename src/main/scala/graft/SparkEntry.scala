@@ -86,7 +86,9 @@ object SparkEntry {
     // the full composed get_suggestions lifecycle (stages 4-10) — rows-only
     // check (reference scorer inside, no SQL analogue; goldens in
     // SuggestSpec mirror cyrillic_test.cc fixtures)
-    "q39_suggest" -> (er.Suggest.q39Suggest _)
+    "q39_suggest" -> (er.Suggest.q39Suggest _),
+    // J5 exact point-in-polygon refinement over the cell join + S5 rings
+    "q40_point_in_polygon" -> (Extras.q40PointInPolygon _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Coverage queries for the remaining SURVEY.md §2 operator families:
@@ -68,11 +68,13 @@ object Extras {
     * neighbor cells, points probe one cell; exact squared-degree-distance
     * range predicate (IEEE-exact — no trig on the filter path) plus
     * haversine (X13) and distance-bias tiers (X10) as score columns. */
+  /** Deterministic synthetic coordinates shared by q34/q40. */
+  private def coords(df: DataFrame, key: String, idName: String): DataFrame =
+    df.select(col(key).as(idName),
+      ((col(key) * 7919) % 1000).cast("double").divide(100.0).minus(5.0).as("lat"),
+      ((col(key) * 104729) % 1000).cast("double").divide(100.0).minus(5.0).as("lng"))
+
   def q34SpatialCellJoin(spark: SparkSession, dir: String): DataFrame = {
-    def coords(df: DataFrame, key: String, idName: String): DataFrame =
-      df.select(col(key).as(idName),
-        ((col(key) * 7919) % 1000).cast("double").divide(100.0).minus(5.0).as("lat"),
-        ((col(key) * 104729) % 1000).cast("double").divide(100.0).minus(5.0).as("lng"))
     val pts = coords(load(spark, dir, "customer"), "c_custkey", "id")
       .withColumn("cla", floor(col("lat")).cast("int"))
       .withColumn("clo", floor(col("lng")).cast("int"))
@@ -95,6 +97,50 @@ object Extras {
         round(dist2, 4).as("dist2"),
         round(hav, 2).as("hav_km"),
         when(dist2 < 0.01, 2.5).when(dist2 < 0.09, 2.0).otherwise(1.0).as("tier"))
+  }
+
+  /** J5 exact point-in-polygon + S5 ring storage (reference
+    * area_database.cc:127-148 `tg_geom_within` after the R-tree candidate
+    * pass; rings stored as nested coordinate lists, :41-52): each supplier
+    * site owns an irregular quadrilateral ring held as an
+    * `array<struct<x,y>>` column (the Parquet nested-list ring layout of
+    * S5); candidate pairs come from the same 3×3-cell equi-join as q34
+    * (the R-tree analogue — never a cross join), then the EXACT
+    * crossing-number test refines them: a point is inside iff an odd
+    * number of ring edges straddle its latitude with the edge's
+    * x-intercept to its right. The test is one `filter`+`size` HOF over
+    * the ring — codegen'd, no UDF. */
+  def q40PointInPolygon(spark: SparkSession, dir: String): DataFrame = {
+    val pts = coords(load(spark, dir, "customer"), "c_custkey", "id")
+      .withColumn("cla", floor(col("lat")).cast("int"))
+      .withColumn("clo", floor(col("lng")).cast("int"))
+    def radius(mult: Int): Column =
+      lit(0.05) + ((col("site_id") * mult) % 20).cast("double") / 100.0
+    val ring = array( // irregular diamond: 4 vertices, distinct radii
+      struct(col("s_lng").as("x"), (col("s_lat") + radius(13)).as("y")),
+      struct((col("s_lng") + radius(17)).as("x"), col("s_lat").as("y")),
+      struct(col("s_lng").as("x"), (col("s_lat") - radius(19)).as("y")),
+      struct((col("s_lng") - radius(23)).as("x"), col("s_lat").as("y")))
+    val polys = coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
+      .withColumnRenamed("lat", "s_lat").withColumnRenamed("lng", "s_lng")
+      .withColumn("ring", ring) // S5: nested ring column
+      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+      .select(col("site_id"), col("ring"),
+        (floor(col("s_lat")) + col("dx")).cast("int").as("cla"),
+        (floor(col("s_lng")) + col("dy")).cast("int").as("clo"))
+    val n = size(col("ring"))
+    val crossings = size(filter(sequence(lit(1), n), i => {
+      val a = element_at(col("ring"), i)
+      val b = element_at(col("ring"), when(i === n, lit(1)).otherwise(i + 1))
+      ((a("y") > col("lat")) =!= (b("y") > col("lat"))) &&
+        col("lng") < (b("x") - a("x")) * (col("lat") - a("y")) /
+          (b("y") - a("y")) + a("x")
+    }))
+    pts.join(polys, Seq("cla", "clo")) // cell candidates (J6 shape)
+      .withColumn("n_crossings", crossings)
+      .filter(col("n_crossings") % 2 === 1) // exact PIP refinement
+      .select(col("id"), col("site_id"), col("n_crossings"))
   }
 
   /** A7/A8/A9 + D4: containment chains (nation ⊂ region) as ArrayType
@@ -189,8 +235,6 @@ object Extras {
       .select(col("qid"), col("name_id"), col("hn_phrase"),
         col("is_numeric"), col("hn").isNotNull.as("hn_matched"))
   }
-
-  import org.apache.spark.sql.Column
 
   /** A6 greedy per-group argmin area assembly (reference
     * get_suggestions.cc:181-255): phrases are folded IN ORDER; a phrase
@@ -463,6 +507,50 @@ object Extras {
         |  CAST(CASE WHEN dlat * dlat + dlng * dlng < 0.01 THEN 2.5
         |       WHEN dlat * dlat + dlng * dlng < 0.09 THEN 2.0 ELSE 1.0 END AS DOUBLE) AS tier
         |FROM j WHERE dlat * dlat + dlng * dlng <= 0.25""".stripMargin,
+    "q40_point_in_polygon" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 100.0 - 5.0 AS lat,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 100.0 - 5.0 AS lng
+        |  FROM customer),
+        |poly AS (
+        |  SELECT s_suppkey AS site_id,
+        |    CAST((s_suppkey * 7919) % 1000 AS DOUBLE) / 100.0 - 5.0 AS sy,
+        |    CAST((s_suppkey * 104729) % 1000 AS DOUBLE) / 100.0 - 5.0 AS sx,
+        |    0.05 + CAST((s_suppkey * 13) % 20 AS DOUBLE) / 100.0 AS r1,
+        |    0.05 + CAST((s_suppkey * 17) % 20 AS DOUBLE) / 100.0 AS r2,
+        |    0.05 + CAST((s_suppkey * 19) % 20 AS DOUBLE) / 100.0 AS r3,
+        |    0.05 + CAST((s_suppkey * 23) % 20 AS DOUBLE) / 100.0 AS r4
+        |  FROM supplier),
+        |cells AS (
+        |  SELECT *, CAST(floor(sy) + dx.dx AS INT) AS cla,
+        |    CAST(floor(sx) + dy.dy AS INT) AS clo
+        |  FROM poly,
+        |    LATERAL (SELECT unnest([-1,0,1]) AS dx) dx,
+        |    LATERAL (SELECT unnest([-1,0,1]) AS dy) dy),
+        |j AS (
+        |  SELECT p.id, s.site_id, p.lat, p.lng,
+        |    s.sx, s.sy, s.r1, s.r2, s.r3, s.r4
+        |  FROM pts p JOIN cells s
+        |    ON CAST(floor(p.lat) AS INT) = s.cla AND CAST(floor(p.lng) AS INT) = s.clo),
+        |c AS (
+        |  SELECT id, site_id,
+        |    CASE WHEN ((sy + r1 > lat) <> (sy > lat))
+        |      AND lng < (sx + r2 - sx) * (lat - (sy + r1)) / (sy - (sy + r1)) + sx
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN ((sy > lat) <> (sy - r3 > lat))
+        |      AND lng < (sx - (sx + r2)) * (lat - sy) / ((sy - r3) - sy) + (sx + r2)
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN ((sy - r3 > lat) <> (sy > lat))
+        |      AND lng < ((sx - r4) - sx) * (lat - (sy - r3)) / (sy - (sy - r3)) + sx
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN ((sy > lat) <> (sy + r1 > lat))
+        |      AND lng < (sx - (sx - r4)) * (lat - sy) / ((sy + r1) - sy) + (sx - r4)
+        |      THEN 1 ELSE 0 END AS n_crossings
+        |  FROM j)
+        |SELECT id, CAST(site_id AS BIGINT) AS site_id,
+        |  CAST(n_crossings AS INT) AS n_crossings
+        |FROM c WHERE n_crossings % 2 = 1""".stripMargin,
     "q35_areaset_ops" ->
       """WITH sets AS (
         |  SELECT n_name || '|' || r_name AS area_set,
