@@ -143,25 +143,28 @@ object Pipeline {
       org.apache.spark.sql.types.StringType, 42L)
 
   private def assignStringIds(keys: DataFrame): DataFrame = {
-    var assigned = keys.withColumn("string_id", xxhash64(col("match_key")))
-    var round = 1
-    var done = false
-    while (!done && round <= 8) {
-      val dupIds = assigned.groupBy(col("string_id"))
-        .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("string_id"))
-      if (dupIds.isEmpty) done = true
-      else {
-        assigned = assigned
-          .join(broadcast(dupIds.withColumn("dup", lit(true))), Seq("string_id"), "left")
-          .withColumn("string_id", when(col("dup"),
-            xxhash64(lit(Id2Tag), col("match_key"), lit(round))).otherwise(col("string_id")))
-          .drop("dup")
-        round += 1
-      }
-    }
-    require(done, "string-id assignment failed to resolve hash collisions " +
-      "after 8 rehash rounds — input pathology, refusing to proceed")
-    assigned
+    // Inline detect → repair → verify, with NO extra action (an eager
+    // driver-side check would force the whole mentions→groupBy subtree to
+    // compute twice per run): colliding ids are found with a window count
+    // over the (small, interned) key table, repaired by one deterministic
+    // rehash of the colliding keys, and the repaired set is re-verified by
+    // a second window count whose failure raises inside the job. Expected
+    // collisions at 10^10 distinct strings: ~3 → repair odds of a
+    // secondary collision ~1e-9, and even that fails LOUD, never silent.
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col("sid0"))
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("sid1"))
+    keys
+      .withColumn("sid0", xxhash64(col("match_key")))
+      .withColumn("n0", count(lit(1)).over(w0))
+      .withColumn("sid1", when(col("n0") > 1,
+        xxhash64(lit(Id2Tag), col("match_key"), lit(1))).otherwise(col("sid0")))
+      .withColumn("n1", count(lit(1)).over(w1))
+      .withColumn("string_id", coalesce(
+        assert_true(col("n1") === 1,
+          lit("string-id hash collision survived the rehash repair — " +
+            "refusing to proceed (would silently fuse clusters)")).cast("long"),
+        col("sid1")))
+      .drop("sid0", "n0", "sid1", "n1")
   }
 
   /** String interning (reference D1): one row per distinct canonical match

@@ -22,7 +22,11 @@ object Similarity {
   private def cosine(va: Column, vb: Column): Column =
     graft.functions.cosine_sim(va, vb)
 
-  /** Brute-force exact cosine top-10 for query vectors (vec_id < 5). */
+  /** Brute-force exact cosine top-10 for query vectors (vec_id < 5).
+    * Deliberately a BroadcastNestedLoopJoin with the BOUNDED 5-row query
+    * set as the build side — the exact-recall baseline that q25 (LSH) and
+    * q27 (IVF) are measured against; cost is one linear scan of the
+    * corpus per batch of queries, which is the optimal exact plan. */
   def q26CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(load(spark, dir, "embeddings"))
     val q = e.filter(col("vec_id") < 5)
