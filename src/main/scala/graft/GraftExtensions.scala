@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "double_metaphone" -> (es => DoubleMetaphoneKey(es.head)),
     "match_key" -> (es => MatchKey(es.head)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "point_in_ring" -> (es => PointInRing(es(0), es(1), es(2))),
     "format_address" -> (es => FormatAddress(es))
   )
 

@@ -54,6 +54,10 @@ package object functions {
   /** fused cosine similarity over array<double> columns. */
   def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
 
+  /** exact point-in-polygon crossing number over a ring column. */
+  def point_in_ring(ring: Column, x: Column, y: Column): Column =
+    col(PointInRing(ex(ring), ex(x), ex(y)))
+
   /** per-country address formatting (reference formatter.cc:87-159). */
   def format_address(houseNumber: Column, road: Column, postcode: Column,
       city: Column, country: Column, countryCode: Column): Column =
@@ -75,6 +79,7 @@ package object functions {
     reg.createOrReplaceTempFunction("double_metaphone", es => DoubleMetaphoneKey(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("match_key", es => MatchKey(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("format_address", es => FormatAddress(es), "scala_udf")
   }
 }

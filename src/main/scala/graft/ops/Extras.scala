@@ -108,8 +108,9 @@ object Extras {
     * (the R-tree analogue — never a cross join), then the EXACT
     * crossing-number test refines them: a point is inside iff an odd
     * number of ring edges straddle its latitude with the edge's
-    * x-intercept to its right. The test is one `filter`+`size` HOF over
-    * the ring — codegen'd, no UDF. */
+    * x-intercept to its right. The test is the `PointInRing` codegen
+    * expression (HOF lambdas are interpreted per row — ~9× slower on the
+    * 67M-pair sf0.1 candidate stream). */
   def q40PointInPolygon(spark: SparkSession, dir: String): DataFrame = {
     val pts = coords(load(spark, dir, "customer"), "c_custkey", "id")
       .withColumn("cla", floor(col("lat")).cast("int"))
@@ -129,16 +130,9 @@ object Extras {
       .select(col("site_id"), col("ring"),
         (floor(col("s_lat")) + col("dx")).cast("int").as("cla"),
         (floor(col("s_lng")) + col("dy")).cast("int").as("clo"))
-    val n = size(col("ring"))
-    val crossings = size(filter(sequence(lit(1), n), i => {
-      val a = element_at(col("ring"), i)
-      val b = element_at(col("ring"), when(i === n, lit(1)).otherwise(i + 1))
-      ((a("y") > col("lat")) =!= (b("y") > col("lat"))) &&
-        col("lng") < (b("x") - a("x")) * (col("lat") - a("y")) /
-          (b("y") - a("y")) + a("x")
-    }))
     pts.join(polys, Seq("cla", "clo")) // cell candidates (J6 shape)
-      .withColumn("n_crossings", crossings)
+      .withColumn("n_crossings",
+        graft.functions.point_in_ring(col("ring"), col("lng"), col("lat")))
       .filter(col("n_crossings") % 2 === 1) // exact PIP refinement
       .select(col("id"), col("site_id"), col("n_crossings"))
   }

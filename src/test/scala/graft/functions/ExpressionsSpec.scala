@@ -143,6 +143,20 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(mism(0).isNullAt(0)) // length mismatch → NULL
   }
 
+  test("point_in_ring: crossing parity on a unit square (in/out/concave)") {
+    import spark.implicits._
+    // square (0,0)-(2,0)-(2,2)-(0,2); inside (1,1); outside (3,1) and (1,3)
+    val ring = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val df = Seq((1.0, 1.0, true), (3.0, 1.0, false), (1.0, 3.0, false),
+      (-0.5, 1.0, false), (0.5, 0.5, true))
+      .toDF("x", "y", "expected")
+      .withColumn("ring", typedLit(ring.map { case (x, y) => (x, y) })
+        .cast("array<struct<x:double,y:double>>"))
+    val got = df.withColumn("inside",
+      gf.point_in_ring(col("ring"), col("x"), col("y")) % 2 === 1)
+    assert(got.filter(col("inside") =!= col("expected")).isEmpty)
+  }
+
   test("GraftExtensions injects SQL functions") {
     // extensions resolve from the SparkContext static conf at session
     // build, which a shared-context test can't exercise; apply the
