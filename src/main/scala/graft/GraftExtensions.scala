@@ -33,8 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "format_address" -> (es => FormatAddress(es))
   )
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+    // lev(a,b) <= k → banded 3-arg form (O(n·k) + early exit)
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
+  }
 }

@@ -20,4 +20,12 @@ object Bridge {
       ext: org.apache.spark.sql.SparkSessionExtensions,
       reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(reg)
+
+  /** Execute a LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * private[sql]); lets tests run a rule-rewritten plan and compare
+    * results against the original. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -175,6 +175,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getString(2) == "17 Rue X, 31000 Toulouse, France")
   }
 
+  test("BoundedLevenshteinRewrite: unbounded lev-vs-literal becomes banded form") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    val data = Seq(("abc", "abd"), ("abc", "xyz"), ("a", "ab"), ("same", "same"),
+      (null, "x"), ("longerstring", "longerstrnig")).toDF("a", "b")
+    for ((pred, tag) <- Seq(
+        (levenshtein($"a", $"b") <= 1, "le"),
+        (levenshtein($"a", $"b") < 2, "lt"),
+        (levenshtein($"a", $"b") > 1, "gt"),
+        (levenshtein($"a", $"b") >= 2, "ge"))) {
+      val df = data.filter(pred)
+      val analyzed = df.queryExecution.analyzed
+      val rewritten = graft.plans.BoundedLevenshteinRewrite(analyzed)
+      val bounded = rewritten.collect { case p => p.expressions }.flatten
+        .flatMap(_.collect { case l: Levenshtein if l.threshold.isDefined => l })
+      assert(bounded.nonEmpty, s"[$tag] no bounded Levenshtein after rewrite:\n$rewritten")
+      val expect = df.collect().map(_.toSeq).toSet
+      val got = org.apache.spark.sql.graft.Bridge.ofRows(spark, rewritten)
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"[$tag] rewrite changed results: $got vs $expect")
+    }
+  }
+
   test("codegen: expressions run inside WholeStageCodegen") {
     import spark.implicits._
     val df = spark.range(100)
