@@ -74,6 +74,33 @@ object StreamOps {
       }
   }
 
+  final case class DedupMark(doc_id: Long, text_hash: String, keeper: Long,
+      is_duplicate: Boolean)
+
+  /** Streaming exact dedup — the ingest-side analogue of the batch q20
+    * (hash-groupBy dedup): documents grouped by content hash; the first
+    * micro-batch that carries a hash fixes its keeper (min doc_id of that
+    * batch) in GroupState, and every later arrival of the same hash is
+    * emitted as a duplicate of that keeper. State shards by hash key —
+    * the same partitioning story as the batch groupBy; at web scale the
+    * state store is RocksDB-backed and the key space is the distinct
+    * corpus, not the stream. */
+  def incrementalExactDedup(spark: SparkSession, docs: DataFrame): Dataset[DedupMark] = {
+    import spark.implicits._
+    docs.select(md5(col("text")).cast("string").as("h"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, DedupMark](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val batch = rows.map(_._2).toVector
+          val keeper = state.getOption.getOrElse(batch.min)
+          state.update(keeper)
+          batch.iterator.map(d => DedupMark(d, h, keeper, d != keeper))
+      }
+  }
+
   /** Run a streaming DataFrame from a parquet-backed file stream to a
     * memory sink synchronously; returns the sink table name. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -69,6 +69,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(newCount == batch.select($"string_id").distinct().count())
   }
 
+  test("streaming exact dedup equals batch q20 (keeper + copy counts)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val d = new java.io.File("/tmp/graft_stream_docs")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    docs.select($"doc_id", $"text").coalesce(1).write.parquet(d.getPath)
+    val schema = spark.read.parquet(d.getPath).schema
+    val stream = spark.readStream.schema(schema).parquet(d.getPath)
+    StreamOps.runToMemory(spark,
+      StreamOps.incrementalExactDedup(spark, stream).toDF(), "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("dedup_out")
+      .groupBy($"text_hash")
+      .agg(min($"keeper").as("keeper"), count(lit(1)).as("n_copies"))
+    val batch = graft.ops.Dedup.q20ExactDedup(spark, dir)
+      .select($"text_hash", $"keeper", $"n_copies")
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+  }
+
   test("stateful mapGroupsWithState user counts equal batch groupBy") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
