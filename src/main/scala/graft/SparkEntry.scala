@@ -92,9 +92,10 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for q15/q16 (Double Metaphone and
-    * the reference scorer have no DuckDB analogue → rows-only check;
-    * semantics pinned by ScalaTest goldens instead). */
+    * the same parquet tables. Omitted for q15/q16/q39 (Double Metaphone
+    * and the reference scorer have no DuckDB analogue → rows-only check;
+    * semantics pinned by ScalaTest goldens instead — TextGoldenSpec,
+    * SuggestSpec). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++
       (TextOps.oracles - "q15_metaphone" - "q16_match_score") ++
