@@ -74,6 +74,15 @@ object ScalingBench {
       // cores of the box)
       .config("spark.executor.extraJavaOptions",
         "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1 -XX:CICompilerCount=2")
+      // every "executor" is the same physical host, so cache/shuffle
+      // locality is meaningless — but the scheduler still waits up to the
+      // default 3 s for a slot on the executor holding a cached partition.
+      // With n single-core executors and 64-partition stages those stalls
+      // serialize scheduling (observed: tasks idling ~5 s each on 70 KiB
+      // inputs at n=16 while 94% of CPUs sat idle, a 15× slowdown of the
+      // whole level). A real cluster keeps the default; same-host
+      // emulation must not.
+      .config("spark.locality.wait", "0")
     val s = b
       // FIXED across levels: on a real cluster shuffle.partitions does not
       // change when the executor count does, and scaling it with cores
@@ -101,6 +110,11 @@ object ScalingBench {
       pagesPerSec: Double)
 
   def runAt(cores: Int, nPages: Long, nEntities: Int): Level = {
+    // stale checkpoints from an earlier invocation would satisfy
+    // latestLabels() with OLD labels if this run converges in fewer
+    // iterations — always start each level from an empty workDir
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"/tmp/graft_scaling_$cores"))
     val spark = session(cores)
     try {
       // JIT/codegen warmup on a small corpus so the measured run is steady-state

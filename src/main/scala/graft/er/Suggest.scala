@@ -108,8 +108,12 @@ object Suggest {
             forall(words, isNumToken).as("is_num"))
         })))
     }
+    // canonical match keys on BOTH sides replace the reference's
+    // query-time alternate enumeration (G4, normalize.h:90-134):
+    // hbf↔hauptbahnhof / str↔strasse / digraph spell-outs all collapse to
+    // one canonical form before any matching (MatchKeys)
     val q = queries
-      .withColumn("norm", gf.normalize_text(col("text")))
+      .withColumn("norm", gf.match_key(col("text")))
       .filter(length(col("norm")) >= 2) // F5 min-length gate
       .withColumn("tokens", slice(split(col("norm"), " "), 1, MaxTokens))
       .withColumn("all_mask", (pow(lit(2.0d), size(col("tokens"))) - 1).cast("long"))
@@ -117,7 +121,7 @@ object Suggest {
 
     // ---- stage 4: candidate generation (A1/A2/A3/J1/K1)
     val names = entities.select(col("entity_id"), col("name"))
-      .withColumn("tris", gf.trigram_strings(gf.normalize_text(col("name"))))
+      .withColumn("tris", gf.trigram_strings(gf.match_key(col("name"))))
       .withColumn("n_grams", size(col("tris")))
     val nameKeyed = names
       .select(col("entity_id"), col("n_grams"), explode(col("tris")).as("gram"))
@@ -152,7 +156,8 @@ object Suggest {
     val matrix = candidates
       .join(entities.select(col("entity_id"), col("name")), Seq("entity_id"))
       .join(phrases, Seq("query_id"))
-      .withColumn("pscore", gf.ref_match_score(col("name"), col("p.s")))
+      .withColumn("pscore",
+        gf.ref_match_score(gf.match_key(col("name")), col("p.s")))
       .filter(col("pscore").isNotNull) // kNoMatch candidates drop out
     val bestPhrase = matrix
       .groupBy(col("query_id"), col("entity_id"))
@@ -176,7 +181,8 @@ object Suggest {
       .select(col("query_id"), col("entity_id"))
       .join(phrases.filter(col("p.is_num")), Seq("query_id")) // numeric phrases only
       .join(hns, Seq("entity_id"))
-      .withColumn("hn_score", gf.ref_match_score(col("hn"), col("p.s")))
+      .withColumn("hn_score",
+        gf.ref_match_score(gf.match_key(col("hn")), col("p.s")))
       .filter(col("hn_score").isNotNull)
       .groupBy(col("query_id"), col("entity_id"))
       .agg(min(struct(col("hn_score").as("score"), col("pidx"),

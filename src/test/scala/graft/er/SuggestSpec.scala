@@ -67,6 +67,17 @@ class SuggestSpec extends AnyFunSuite {
       s"top-1 was ${rows.head}")
   }
 
+  test("synonym alternates: 'Hbf' query finds 'Hauptbahnhof' entity (G4)") {
+    val ents = Seq(
+      Ent(40, "Darmstadt Hauptbahnhof", "place", "none", 0, "default", 40, Nil, Nil),
+      Ent(41, "Darmstadt Nordbahnhof", "place", "none", 0, "default", 41, Nil, Nil),
+      Ent(42, "Frankfurt Hauptbahnhof", "place", "none", 0, "default", 42, Nil, Nil))
+    val rows = run(Seq((1L, "Darmstadt Hbf")), ents)
+    assert(rows.nonEmpty, "no suggestions returned")
+    assert(rows.head.getAs[String]("name") == "Darmstadt Hauptbahnhof",
+      s"alternate not matched: ${rows.toSeq}")
+  }
+
   test("greedy area evidence lowers the score of the contextual entity") {
     // two identically-named streets; only one lies in "бургас" — the query
     // mentioning the area must rank that one first (A6 evidence)
