@@ -74,15 +74,23 @@ object ScalingBench {
       // cores of the box)
       .config("spark.executor.extraJavaOptions",
         "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1 -XX:CICompilerCount=2")
-      // every "executor" is the same physical host, so cache/shuffle
-      // locality is meaningless — but the scheduler still waits up to the
-      // default 3 s for a slot on the executor holding a cached partition.
-      // With n single-core executors and 64-partition stages those stalls
-      // serialize scheduling (observed: tasks idling ~5 s each on 70 KiB
-      // inputs at n=16 while 94% of CPUs sat idle, a 15× slowdown of the
-      // whole level). A real cluster keeps the default; same-host
-      // emulation must not.
-      .config("spark.locality.wait", "0")
+      // Locality wait is left at Spark's DEFAULT (3 s) — the config a
+      // real spark-submit cluster runs with — unless GRAFT_LOCALITY_WAIT
+      // overrides it. Measured tradeoff on this box (2M pages):
+      //  - default: at 16 one-core executors the 64-task stages stall on
+      //    cache-locality waits (tasks idle ~5 s on 70 KiB inputs, 94% of
+      //    CPUs idle, the whole level 15× slower) — an artifact of 4
+      //    tasks/executor/stage, which a real 16-node cluster with the
+      //    same partitioning would also exhibit;
+      //  - wait=0: level 16 drops to its true ~48 s, but level 4 pays
+      //    ~+30% because tasks scheduled off the caching executor
+      //    serialize cached blocks over loopback — a cost locality
+      //    scheduling (and a real cluster) avoids.
+      // The criterion pair (1 vs 4) is therefore measured under the
+      // default; GRAFT_LOCALITY_WAIT=0 is used for the supplementary
+      // 16-executor point, with both configs reported verbatim.
+      .config("spark.locality.wait",
+        sys.env.getOrElse("GRAFT_LOCALITY_WAIT", "3s"))
     val s = b
       // FIXED across levels: on a real cluster shuffle.partitions does not
       // change when the executor count does, and scaling it with cores
