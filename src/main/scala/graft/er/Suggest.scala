@@ -112,17 +112,31 @@ object Suggest {
     // query-time alternate enumeration (G4, normalize.h:90-134):
     // hbf↔hauptbahnhof / str↔strasse / digraph spell-outs all collapse to
     // one canonical form before any matching (MatchKeys)
+    // The composed DAG references q/names/candidates/scored MANY times
+    // (matrix, attrs join, house numbers, assembly) — without a cache each
+    // reference recomputes the whole upstream subtree (AQE's exchange
+    // reuse only catches byte-identical subplans). These frames are all
+    // bounded (queries; interned entities; ≤6000 candidates/query; ≤10000
+    // scored/branch) so a lazy MEMORY_AND_DISK persist is the right call
+    // at any scale.
+    val persistLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val q = queries
       .withColumn("norm", gf.match_key(col("text")))
       .filter(length(col("norm")) >= 2) // F5 min-length gate
       .withColumn("tokens", slice(split(col("norm"), " "), 1, MaxTokens))
       .withColumn("all_mask", (pow(lit(2.0d), size(col("tokens"))) - 1).cast("long"))
       .withColumn("phrases", phraseArr)
+      .persist(persistLevel)
 
     // ---- stage 4: candidate generation (A1/A2/A3/J1/K1)
+    // the canonical match key is computed ONCE per entity and reused by
+    // both the trigram index and the score matrix below (it was previously
+    // recomputed per matrix CELL — the single largest cost of the query)
     val names = entities.select(col("entity_id"), col("name"))
-      .withColumn("tris", gf.trigram_strings(gf.match_key(col("name"))))
+      .withColumn("mk", gf.match_key(col("name")))
+      .withColumn("tris", gf.trigram_strings(col("mk")))
       .withColumn("n_grams", size(col("tris")))
+      .persist(persistLevel)
     val nameKeyed = names
       .select(col("entity_id"), col("n_grams"), explode(col("tris")).as("gram"))
     val keptGrams = nameKeyed.groupBy(col("gram")) // hot-gram cap (scale rule)
@@ -133,14 +147,14 @@ object Suggest {
       explode(gf.trigram_strings(col("norm"))).as("gram"))
     val qN = q.select(col("query_id"),
       size(gf.trigram_strings(col("norm"))).as("n_q"))
-    val counted = qGrams
+    // min-match-count from the QUERY's n-gram count alone — the reference
+    // formula (typeahead.cc:409): mmc = 2 + n_q / (4 + n_q / 10)
+    val mmc = lit(2) + floor(col("n_q") / (lit(4) + floor(col("n_q") / lit(10))))
+    val candidates = qGrams
       .join(nameKeyed.join(keptGrams, Seq("gram")), Seq("gram"))
       .groupBy(col("query_id"), col("entity_id"))
       .agg(count(lit(1)).as("shared"), first(col("n_grams")).as("n_grams"))
       .join(qN, Seq("query_id"))
-    val minN = least(col("n_q"), col("n_grams")).cast("int")
-    val mmc = lit(2) + floor(minN / (lit(4) + floor(minN / lit(10))))
-    val candidates = counted
       .filter(col("shared") >= mmc.cast("long") &&
         (col("shared") * col("shared")).cast("double") >= lit(0.17) * col("n_q") * col("n_grams"))
       .withColumn("cos2",
@@ -149,20 +163,23 @@ object Suggest {
         Window.partitionBy(col("query_id")).orderBy(col("cos2").desc, col("entity_id"))))
       .filter(col("crnk") <= MaxCandidates) // K1
       .select(col("query_id"), col("entity_id"))
+      .persist(persistLevel)
 
     // ---- stage 5: string × phrase score matrix (A4, scorer X6)
-    val phrases = q.select(col("query_id"),
-      posexplode(col("phrases")).as(Seq("pidx", "p")))
-    val matrix = candidates
-      .join(entities.select(col("entity_id"), col("name")), Seq("entity_id"))
-      .join(phrases, Seq("query_id"))
-      .withColumn("pscore",
-        gf.ref_match_score(gf.match_key(col("name")), col("p.s")))
-      .filter(col("pscore").isNotNull) // kNoMatch candidates drop out
-    val bestPhrase = matrix
-      .groupBy(col("query_id"), col("entity_id"))
-      .agg(min(struct(col("pscore").as("score"), col("pidx"),
-        col("p.bits").as("bits"))).as("b"))
+    // One row per (query, entity): the whole phrase dimension stays in an
+    // array and the matrix row collapses to ONE fused RefBestPhrase call —
+    // the name's tokenize/phrase-enumeration runs once per row (cached
+    // across rows sharing a name), the per-candidate argmin happens inside
+    // the kernel (ordering identical to min(struct(score, pidx, bits))),
+    // and there is no phrase-explode shuffle or re-aggregation at all.
+    val bestPhrase = candidates
+      .join(names.select(col("entity_id"), col("mk")), Seq("entity_id"))
+      .join(q.select(col("query_id"), col("phrases")), Seq("query_id"))
+      .withColumn("b", gf.ref_best_phrase(col("mk"),
+        transform(col("phrases"), p => p("s")),
+        transform(col("phrases"), p => p("bits"))))
+      .filter(col("b").isNotNull) // candidates where every phrase is kNoMatch
+      .select(col("query_id"), col("entity_id"), col("b"))
 
     // ---- stage 6: attach entity attrs, split branches, K2 bound
     val scored = bestPhrase
@@ -173,16 +190,22 @@ object Suggest {
         Window.partitionBy(col("query_id"), col("kind"))
           .orderBy(col("b.score").asc, col("entity_id"))))
       .filter(col("srnk") <= MaxScored) // K2
+      .persist(persistLevel)
 
     // ---- stage 7: street house numbers (J3 under the F9 numeric gate)
+    // house-number match keys are computed once per (entity, hn) — not per
+    // (query, phrase, hn) cell — and scored with the pre-normalized entry
     val hns = entities.filter(col("kind") === "street")
       .select(col("entity_id"), explode(col("house_numbers")).as("hn"))
+      .withColumn("mk_hn", gf.match_key(col("hn")))
+    val numPhrases = q.select(col("query_id"),
+        posexplode(col("phrases")).as(Seq("pidx", "p")))
+      .filter(col("p.is_num")) // F9: numeric phrases only
     val hnBest = scored.filter(col("kind") === "street")
       .select(col("query_id"), col("entity_id"))
-      .join(phrases.filter(col("p.is_num")), Seq("query_id")) // numeric phrases only
+      .join(numPhrases, Seq("query_id"))
       .join(hns, Seq("entity_id"))
-      .withColumn("hn_score",
-        gf.ref_match_score(gf.match_key(col("hn")), col("p.s")))
+      .withColumn("hn_score", gf.ref_match_score_pre(col("mk_hn"), col("p.s")))
       .filter(col("hn_score").isNotNull)
       .groupBy(col("query_id"), col("entity_id"))
       .agg(min(struct(col("hn_score").as("score"), col("pidx"),

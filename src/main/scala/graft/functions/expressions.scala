@@ -186,6 +186,110 @@ case class RefMatchScore(left: Expression, right: Expression)
   override def prettyName: String = "ref_match_score"
 }
 
+/** RefMatchScore over an ALREADY-normalized dataset name (skips the
+  * internal Normalize.normalize — the caller passes a canonical match key,
+  * on which normalize is the identity). (normName, normalizedPhrase) →
+  * Float, NULL = kNoMatch. */
+case class RefMatchScorePre(left: Expression, right: Expression)
+    extends BinaryExpression with StringArgs {
+  override def dataType: DataType = FloatType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val s = graft.text.MatchScore.matchScorePre(
+      l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+    if (s == graft.text.MatchScore.NoMatch) null else s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      s"""
+         |float graft_msp = graft.text.MatchScore.matchScorePre($l.toString(), $r.toString());
+         |if (graft_msp == Float.MAX_VALUE) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft_msp;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RefMatchScorePre =
+    copy(left = l, right = r)
+  override def prettyName: String = "ref_match_score_pre"
+}
+
+/** The score-matrix kernel: ONE dataset name vs ALL the query's phrases
+  * in a single call — the name's normalize/tokenize/phrase-enumeration
+  * (the dominant per-cell cost of the naive per-pair formulation) runs
+  * once per (candidate, query) row instead of once per matrix cell.
+  * (normName, array<string> phrases) → array<float> with NULL entries
+  * where the reference returns kNoMatch. */
+case class RefMatchScores(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = true)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, ArrayType(_: StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, array<string>), got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.refMatchScores(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.ExprKernels.refMatchScores($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RefMatchScores =
+    copy(left = l, right = r)
+  override def prettyName: String = "ref_match_scores"
+}
+
+/** The fused score-matrix argmin: score ONE prepared name against all the
+  * query's phrases and return struct(score, pidx, bits) of the winner
+  * (ties → lowest pidx — the ordering of min(struct(score, pidx, bits))),
+  * NULL when every phrase is kNoMatch. One codegen'd call per
+  * (candidate, query) row — no per-cell expression dispatch, no
+  * interpreted HOF struct churn. children = (normName, array<string>
+  * phrases, array<long> bits). */
+case class RefBestPhrase(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", FloatType, nullable = false),
+    StructField("pidx", IntegerType, nullable = false),
+    StructField("bits", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (_: StringType, ArrayType(_: StringType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, array<string>, array<bigint>), got " +
+            Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))
+    }
+  override def nullSafeEval(l: Any, p: Any, b: Any): Any =
+    ExprKernels.refBestPhrase(l.asInstanceOf[UTF8String],
+      p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p, b) => {
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow graft_bp =
+         |  graft.functions.ExprKernels.refBestPhrase($l, $p, $b);
+         |if (graft_bp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft_bp;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RefBestPhrase =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "ref_best_phrase"
+}
+
 /** Double Metaphone phonetic key (commons-codec) — the phonetic blocking
   * key family from BASELINE.json north_star. String → String (may be
   * empty for non-alphabetic input). */
@@ -280,6 +384,49 @@ object ExprKernels {
 
   def bigramKeysDistinct(s: String): Array[Int] =
     graft.text.Ngrams.bigrams(s).distinct.sorted
+
+  /** Multi-phrase match-score kernel (see RefMatchScores): null entries
+    * where the reference returns kNoMatch. */
+  def refMatchScores(name: UTF8String,
+      phrases: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = phrases.numElements()
+    val ps = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      ps(i) = if (phrases.isNullAt(i)) null else phrases.getUTF8String(i).toString
+      i += 1
+    }
+    val scores = graft.text.MatchScore.matchScoresPre(name.toString, ps)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (scores(i) == graft.text.MatchScore.NoMatch) null
+        else java.lang.Float.valueOf(scores(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Fused best-phrase kernel (see RefBestPhrase). */
+  def refBestPhrase(name: UTF8String,
+      phrases: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = phrases.numElements()
+    val ps = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      ps(i) = if (phrases.isNullAt(i)) null else phrases.getUTF8String(i).toString
+      i += 1
+    }
+    val scoreOut = new Array[Float](1)
+    val idx = graft.text.MatchScore.bestPhrase(name.toString, ps, scoreOut)
+    if (idx < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scoreOut(0), idx, bits.getLong(idx)))
+  }
 
   private val metaphone = {
     val m = new org.apache.commons.codec.language.DoubleMetaphone

@@ -13,30 +13,65 @@ import graft.{functions => gf}
 object Components {
   import Tables.load
 
-  /** Min-label propagation to fixpoint. vertices: (id); edges: (src, dst). */
+  /** Min-label propagation to fixpoint. vertices: (id); edges: (src, dst).
+    *
+    * Loop shape mirrors er.Pipeline.cluster: the neighbor-min and the self
+    * label merge in ONE aggregate (union + groupBy min — no changed-flag
+    * left join), TWO propagation steps amortize each checkpoint, and
+    * convergence is "sum(label) unchanged" (labels only decrease under
+    * min-propagation) — a tiny agg over the just-checkpointed frame
+    * instead of a full `filter(changed).isEmpty` recompute. Driver
+    * actions per round: 2 (checkpoint + cached-scan agg) vs 3 full-lineage
+    * actions before.
+    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = vertices.sparkSession
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .persist()
-    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = und
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "b_label"), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("b_label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select(col("id"), col("label")).localCheckpoint(true)
-      iter += 1
+    // Size the loop's shuffle width from the DATA (same rule as
+    // er.Pipeline.cluster): the match graph is far smaller than its source
+    // tables, and every round pays per-task scheduling cost at the loop
+    // width. The count also materializes the persisted edge table before
+    // the first round.
+    val edgeRows = und.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Two regimes: big graphs get ≥ cores partitions (full scheduling
+    // waves, ~2M rows/partition memory bound); tiny graphs get only as
+    // many partitions as have ≥~512 rows of real work — scheduling 32
+    // near-empty tasks per stage × 5 stages × round costs ~1 s/round of
+    // pure task overhead on a 100-row graph.
+    val loopParts = math.min(sessionParts.toLong, math.max(
+      edgeRows / 2000000L + 1L,
+      math.min(spark.sparkContext.defaultParallelism.toLong, edgeRows / 512L + 1L))).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+    def propagate(l: DataFrame): DataFrame =
+      und.join(l.select(col("id").as("b"), col("label")), Seq("b"))
+        .select(col("a").as("id"), col("label"))
+        .unionByName(l)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    try {
+      var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint(true)
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val next = propagate(propagate(labels)).localCheckpoint(true)
+        val curSum = labelSum(next)
+        converged = curSum.compareTo(prevSum) == 0
+        labels = next
+        prevSum = curSum
+        iter += 1
+      }
+      labels
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      und.unpersist()
     }
-    und.unpersist()
-    labels
   }
 
   /** Entity clusters over distinct part names: intern (D2 street-interning
@@ -46,6 +81,9 @@ object Components {
     val interned = load(spark, dir, "part")
       .select(gf.normalize_text(col("p_name")).as("name"), col("p_partkey"))
       .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id"))
+      // referenced by the trigram index, the name join, AND the vertex set
+      // — persist once instead of recomputing the scan+groupBy per branch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withTris = interned
       .withColumn("tris", TextOps.trigramStrings(col("name")))
       .withColumn("n", size(col("tris")))
@@ -72,6 +110,9 @@ object Components {
       .join(kv.withColumnRenamed("name_id", "dst").withColumnRenamed("name", "name_dst"), Seq("dst"))
       .filter(gf.jaro_winkler(col("name_src"), col("name_dst")) >= 0.9)
       .select(col("src"), col("dst"))
+      // the undirected expansion inside connectedComponents references the
+      // edge frame twice — persist so blocking+JW runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     connectedComponents(interned.select(col("name_id").as("id")), edges)
       .select(col("id").as("name_id"), col("label"))
   }

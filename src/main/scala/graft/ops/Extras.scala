@@ -257,8 +257,12 @@ object Extras {
       lit(0.0d).as("dist"))
     val NoMatch = 1e9d
     val folded = aggregate(phrases, init, (acc, p) => {
-      val isNum = lit(2) * length(regexp_replace(p("s"), "[^0-9]", "")) >=
-        length(p("s"))
+      // F9 per-TOKEN numeric rule (normalize.h:192-206 via the phrase's
+      // numeric_tokens_mask): every token must be majority-digits — the
+      // whole-string digit ratio would misgate mixed phrases like "a1 b2"
+      // (tokens both numeric, joined ratio 4/5 < 1/2 with the space)
+      val isNum = forall(split(p("s"), " "), t =>
+        lit(2) * length(regexp_replace(t, "[^0-9]", "")) >= length(t))
       val scored = transform(sequence(lit(1), size(areas)), i => {
         val a = element_at(areas, i)
         val lev = levenshtein(p("s"), a("name"))

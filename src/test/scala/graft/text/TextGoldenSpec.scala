@@ -144,4 +144,35 @@ class TextGoldenSpec extends AnyFunSuite {
     assert(Ngrams.minMatchCount(14) == 2 + 14 / (4 + 1))
     assert(Ngrams.cosSim(5, 10, 10) == 0.25f)
   }
+
+  test("normalize is idempotent on match keys (matchScorePre precondition)") {
+    // matchScorePre/matchScoresPre skip the internal Normalize.normalize —
+    // valid iff normalize is the identity on canonical match keys
+    val samples = Seq(
+      "Landwehrstraße", "Groß-Umstadt An der Pfalz", "Darmstadt Hbf",
+      "ж.к. П. Р. Славейков", "Индже войвода", "İstanbul Caddesi",
+      "Müller-Lüdenscheidt-Weg 12", "café RENÉ (gare)", "  a,b;c  ")
+    samples.foreach { s =>
+      val mk = MatchKeys.matchKey(s)
+      assert(Normalize.normalize(mk) == mk, s"normalize not identity on '$mk'")
+    }
+  }
+
+  test("matchScorePre/matchScoresPre equal matchScore on normalized input") {
+    // names must be CANONICAL (matchScorePre's precondition): "войвода"
+    // raw would differ — й is NFD-decomposed to и + stripped breve
+    val names = Seq("Индже войвода", "ж.к. П. Р. Славейков",
+      "Darmstadt Hauptbahnhof", "Landwehrstraße", "war")
+      .map(MatchKeys.matchKey)
+    val phrases = Array("индже", "славеиков 26", "darmstadt hauptbahnhof",
+      "воивода", "landwehrstrasse", "wa")
+    names.foreach { n =>
+      val multi = MatchScore.matchScoresPre(n, phrases)
+      phrases.zipWithIndex.foreach { case (p, i) =>
+        val full = MatchScore.matchScore(n, p)
+        assert(MatchScore.matchScorePre(n, p) == full, s"pre($n,$p)")
+        assert(multi(i) == full, s"multi($n,$p)")
+      }
+    }
+  }
 }
