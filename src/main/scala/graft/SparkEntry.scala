@@ -88,7 +88,10 @@ object SparkEntry {
     // SuggestSpec mirror cyrillic_test.cc fixtures)
     "q39_suggest" -> (er.Suggest.q39Suggest _),
     // J5 exact point-in-polygon refinement over the cell join + S5 rings
-    "q40_point_in_polygon" -> (Extras.q40PointInPolygon _)
+    "q40_point_in_polygon" -> (Extras.q40PointInPolygon _),
+    // the reference's full 345-rule OSM amenity-category matcher (X8 over
+    // the complete category space, categories.h:691-1345)
+    "q41_category_match" -> (Categories.q41CategoryMatch _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +102,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++
       (TextOps.oracles - "q15_metaphone" - "q16_match_score") ++
-      Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles ++
+      Categories.oracles
 }
