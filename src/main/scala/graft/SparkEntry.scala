@@ -91,7 +91,15 @@ object SparkEntry {
     "q40_point_in_polygon" -> (Extras.q40PointInPolygon _),
     // the reference's full 345-rule OSM amenity-category matcher (X8 over
     // the complete category space, categories.h:691-1345)
-    "q41_category_match" -> (Categories.q41CategoryMatch _)
+    "q41_category_match" -> (Categories.q41CategoryMatch _),
+    // get_suggestions stages 6-10 (attrs/K2/house numbers/area fold/
+    // bonuses/dup-mark/top-n) over an injectable SQL-expressible score —
+    // the q39 skeleton, hash-checked
+    "q42_rank_skeleton" -> (er.Suggest.q42RankSkeleton _),
+    // A8 weighted-distance city pick + J8 lockstep distinguishing-area
+    // advance for same-location pairs (guess_context.cc:105-133,
+    // get_suggestions.cc:745-763)
+    "q43_area_disambig" -> (AreaPick.q43AreaDisambig _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +111,5 @@ object SparkEntry {
     Relational.oracles ++
       (TextOps.oracles - "q15_metaphone" - "q16_match_score") ++
       Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles ++
-      Categories.oracles
+      Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles
 }

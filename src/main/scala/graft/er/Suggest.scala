@@ -181,6 +181,26 @@ object Suggest {
       .filter(col("b").isNotNull) // candidates where every phrase is kNoMatch
       .select(col("query_id"), col("entity_id"), col("b"))
 
+    rankFrom(bestPhrase, entities, q, topN, userLangs,
+      hn => gf.match_key(hn),
+      (hnKey, s) => gf.ref_match_score_pre(hnKey, s))
+  }
+
+  /** Stages 6-10 — attach attrs / K2 / house numbers / area assembly /
+    * bonuses / dup-mark / top-n (get_suggestions.cc:510-743) — over an
+    * INJECTABLE per-candidate score: `bestPhrase(query_id, entity_id,
+    * b: struct(score float, pidx int, bits long))` and `q(query_id,
+    * tokens, all_mask, phrases)` from any scorer. `suggest` feeds the
+    * reference scorer (no SQL analogue, rows-only); q42RankSkeleton feeds
+    * a DuckDB-expressible score so THIS whole skeleton is hash-checked by
+    * the driver. hnKeyFn/hnScoreFn parameterize the house-number matcher
+    * the same way. */
+  private[graft] def rankFrom(bestPhrase: DataFrame, entities: DataFrame,
+      q: DataFrame, topN: Int, userLangs: Seq[String],
+      hnKeyFn: Column => Column,
+      hnScoreFn: (Column, Column) => Column): DataFrame = {
+    val persistLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
     // ---- stage 6: attach entity attrs, split branches, K2 bound
     val scored = bestPhrase
       .join(entities, Seq("entity_id"))
@@ -197,7 +217,7 @@ object Suggest {
     // (query, phrase, hn) cell — and scored with the pre-normalized entry
     val hns = entities.filter(col("kind") === "street")
       .select(col("entity_id"), explode(col("house_numbers")).as("hn"))
-      .withColumn("mk_hn", gf.match_key(col("hn")))
+      .withColumn("mk_hn", hnKeyFn(col("hn")))
     val numPhrases = q.select(col("query_id"),
         posexplode(col("phrases")).as(Seq("pidx", "p")))
       .filter(col("p.is_num")) // F9: numeric phrases only
@@ -205,7 +225,7 @@ object Suggest {
       .select(col("query_id"), col("entity_id"))
       .join(numPhrases, Seq("query_id"))
       .join(hns, Seq("entity_id"))
-      .withColumn("hn_score", gf.ref_match_score_pre(col("mk_hn"), col("p.s")))
+      .withColumn("hn_score", hnScoreFn(col("mk_hn"), col("p.s")))
       .filter(col("hn_score").isNotNull)
       .groupBy(col("query_id"), col("entity_id"))
       .agg(min(struct(col("hn_score").as("score"), col("pidx"),
@@ -265,4 +285,206 @@ object Suggest {
         col("name"), round(col("score"), 4).as("score"),
         col("is_duplicate"), col("matched_hn"))
   }
+
+  /** Driver query for the rank skeleton (stages 6-10) with a
+    * DuckDB-expressible score injected in place of the reference scorer —
+    * the ranking/bonus/dup-mark/top-n arithmetic of
+    * get_suggestions.cc:510-743 becomes hash-checked instead of
+    * rows-only (q39 keeps the real scorer + goldens).
+    *
+    * Construction: streets = interned part names with brand-name area
+    * chains and size house-numbers; places = suppliers in location groups
+    * (same `location` ⇒ K5 duplicate marking fires); queries carry three
+    * fixed phrases (first name token / size digits [numeric] / brand);
+    * the injected b.score is plain Levenshtein(token1, entity name), the
+    * injected house-number scorer is exact-match = -1. */
+  def q42RankSkeleton(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val p = graft.ops.Tables.load(spark, dir, "part")
+      .withColumn("name", lower(col("p_name"))) // ASCII ⇒ equals normalize
+    val streets = p.groupBy(col("name"))
+      .agg(min(col("p_partkey")).cast("long").as("entity_id"),
+        lower(min(col("p_brand"))).as("mfgr"))
+      .select(col("entity_id"), col("name"), lit("street").as("kind"),
+        lit("").as("category"), lit(0L).as("population"),
+        lit("default").as("name_lang"), col("entity_id").as("location"),
+        array(struct(col("mfgr").as("name"), lit(4).as("level"),
+          ((col("entity_id") * 7) % 1000000).as("pop"))).as("areas"),
+        array().cast("array<string>").as("house_numbers")) // filled below
+    val hnChildren = p.join(streets.select(col("entity_id"), col("name")), Seq("name"))
+      .groupBy(col("entity_id"))
+      .agg(sort_array(collect_set(col("p_size").cast("string"))).as("hns"))
+    val streetsWithHn = streets.drop("house_numbers")
+      .join(hnChildren, Seq("entity_id"))
+      .withColumnRenamed("hns", "house_numbers")
+    val s = graft.ops.Tables.load(spark, dir, "supplier")
+    val places = s.select(
+      (col("s_suppkey") + 10000000L).cast("long").as("entity_id"),
+      lower(col("s_name")).as("name"), lit("place").as("kind"),
+      when(col("s_suppkey") % 5 === 0, "city").when(col("s_suppkey") % 5 === 1, "town")
+        .when(col("s_suppkey") % 5 === 2, "village")
+        .when(col("s_suppkey") % 5 === 3, "locality").otherwise("none").as("category"),
+      ((col("s_suppkey") * 1234) % 600000).cast("long").as("population"),
+      when(col("s_suppkey") % 3 === 0, "default").when(col("s_suppkey") % 3 === 1, "de")
+        .otherwise("xx").as("name_lang"),
+      // location GROUPS (suppkey mod 29): co-candidates share a location,
+      // so stage-10 duplicate marking actually fires
+      (lit(10000000L) + (col("s_suppkey") % 29)).cast("long").as("location"),
+      array().cast("array<struct<name:string,level:int,pop:bigint>>").as("areas"),
+      array().cast("array<string>").as("house_numbers"))
+    val entities = streetsWithHn.unionByName(places)
+
+    val queries = p.filter(col("p_partkey") % 53 === 0)
+      .select(col("p_partkey").cast("long").as("query_id"),
+        element_at(split(col("name"), " "), 1).as("tok1"),
+        col("p_size").cast("string").as("tok2"),
+        lower(col("p_brand")).as("tok3"))
+    val q = queries.select(col("query_id"),
+      array(col("tok1"), col("tok2"), col("tok3")).as("tokens"),
+      lit(7L).as("all_mask"),
+      array(
+        struct(col("tok1").as("s"), lit(1L).as("bits"), lit(false).as("is_num")),
+        struct(col("tok2").as("s"), lit(2L).as("bits"), lit(true).as("is_num")),
+        struct(col("tok3").as("s"), lit(4L).as("bits"), lit(false).as("is_num"))).as("phrases"))
+
+    val candS = queries.join(
+        streetsWithHn.select(col("entity_id"), col("name"),
+          element_at(split(col("name"), " "), 1).as("tok1")),
+        Seq("tok1"))
+      .select(col("query_id"), col("entity_id"), col("name"))
+    val candP = queries.join(
+        places.select(col("entity_id"), col("name"),
+          ((col("entity_id") - 10000000L) % 29).as("g")),
+        (col("query_id") % 29) === col("g"))
+      .select(col("query_id"), col("entity_id"), col("name"))
+    val bestPhrase = candS.unionByName(candP)
+      .join(queries.select(col("query_id"), col("tok1")), Seq("query_id"))
+      .select(col("query_id"), col("entity_id"),
+        struct(levenshtein(col("tok1"), col("name")).cast("float").as("score"),
+          lit(0).as("pidx"), lit(1L).as("bits")).as("b"))
+
+    rankFrom(bestPhrase, entities, q, topN = 10, userLangs = Seq("default"),
+      hnKeyFn = identity,
+      hnScoreFn = (hnKey, ps) =>
+        when(hnKey === ps, lit(-1.0f)).otherwise(lit(null).cast("float")))
+  }
+
+  /** DuckDB mirror of q42RankSkeleton: the whole stage 6-10 skeleton
+    * unrolled — hn argmin, the 3-phrase × 1-area greedy fold (q38-style
+    * unroll), X8-X12 bonuses, K5 dup-mark, K3 top-n. */
+  val oracles: Map[String, String] = Map(
+    "q42_rank_skeleton" ->
+      """WITH streets AS (
+        |  SELECT lower(p_name) AS name, CAST(min(p_partkey) AS BIGINT) AS entity_id,
+        |    lower(min(p_brand)) AS mfgr,
+        |    CAST((min(p_partkey) * 7) % 1000000 AS BIGINT) AS apop
+        |  FROM part GROUP BY 1),
+        |hns AS (
+        |  SELECT DISTINCT s.entity_id, CAST(p.p_size AS VARCHAR) AS hn
+        |  FROM part p JOIN streets s ON lower(p.p_name) = s.name),
+        |places AS (
+        |  SELECT CAST(s_suppkey + 10000000 AS BIGINT) AS entity_id,
+        |    lower(s_name) AS name,
+        |    CASE s_suppkey % 5 WHEN 0 THEN 'city' WHEN 1 THEN 'town'
+        |      WHEN 2 THEN 'village' WHEN 3 THEN 'locality' ELSE 'none' END AS category,
+        |    CAST((s_suppkey * 1234) % 600000 AS BIGINT) AS population,
+        |    CASE s_suppkey % 3 WHEN 0 THEN 'default' WHEN 1 THEN 'de' ELSE 'xx' END AS name_lang,
+        |    CAST(10000000 + (s_suppkey % 29) AS BIGINT) AS location
+        |  FROM supplier),
+        |q AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS query_id,
+        |    string_split(lower(p_name), ' ')[1] AS tok1,
+        |    CAST(p_size AS VARCHAR) AS tok2,
+        |    lower(p_brand) AS tok3
+        |  FROM part WHERE p_partkey % 53 = 0),
+        |cand AS (
+        |  SELECT q.query_id, s.entity_id, 'street' AS kind, s.name,
+        |    s.entity_id AS location, s.mfgr, s.apop,
+        |    '' AS category, CAST(0 AS BIGINT) AS population, 'default' AS name_lang,
+        |    CAST(levenshtein(q.tok1, s.name) AS DOUBLE) AS bscore
+        |  FROM q JOIN streets s ON string_split(s.name, ' ')[1] = q.tok1
+        |  UNION ALL
+        |  SELECT q.query_id, p.entity_id, 'place' AS kind, p.name,
+        |    p.location, '' AS mfgr, CAST(0 AS BIGINT) AS apop,
+        |    p.category, p.population, p.name_lang,
+        |    CAST(levenshtein(q.tok1, p.name) AS DOUBLE) AS bscore
+        |  FROM q JOIN places p ON (p.entity_id - 10000000) % 29 = q.query_id % 29),
+        |withhn AS (
+        |  SELECT c.*, q.tok1, q.tok2, q.tok3,
+        |    (c.kind = 'street' AND h.hn IS NOT NULL) AS hn_ok,
+        |    CASE WHEN c.kind = 'street' AND h.hn IS NOT NULL THEN h.hn END AS matched_hn
+        |  FROM cand c JOIN q USING (query_id)
+        |  LEFT JOIN hns h ON c.kind = 'street' AND h.entity_id = c.entity_id
+        |    AND h.hn = q.tok2),
+        |folded AS (
+        |  SELECT *,
+        |    CAST(CASE WHEN hn_ok THEN 3 ELSE 1 END AS BIGINT) AS pre_mask,
+        |    -- greedy fold, phrases (tok1 b1, tok2 b2, tok3 b4) × 1 area (mfgr):
+        |    -- phrase1 bit always overlaps pre_mask (b.bits = 1) -> skipped;
+        |    -- phrase2/3 match iff bit free and the lev gate passes
+        |    (kind = 'street' AND (2 & CASE WHEN hn_ok THEN 3 ELSE 1 END) = 0
+        |      AND 2 * levenshtein(tok2, mfgr) <= least(len(tok2), len(mfgr))) AS ok2,
+        |    (kind = 'street'
+        |      AND 2 * levenshtein(tok3, mfgr) <= least(len(tok3), len(mfgr))) AS ok3
+        |  FROM withhn),
+        |-- fold steps in the SAME left-to-right IEEE association as the
+        |-- Spark aggregate: d2 = (0 + s2) - pop', d3 = (d2 + s3) - pop'
+        |fold2 AS (
+        |  SELECT *,
+        |    CASE WHEN ok2 THEN (0.0 + CAST(levenshtein(tok2, mfgr) AS DOUBLE))
+        |      - (apop * 2.0) / 10000000.0 ELSE 0.0 END AS d2
+        |  FROM folded),
+        |scored AS (
+        |  SELECT *,
+        |    pre_mask
+        |      + CASE WHEN ok2 THEN 2 ELSE 0 END
+        |      + CASE WHEN ok3 THEN 4 ELSE 0 END AS final_mask,
+        |    CASE WHEN ok3 THEN (d2 + CAST(levenshtein(tok3, mfgr) AS DOUBLE))
+        |      - (apop * 2.0) / 10000000.0 ELSE d2 END AS ar_dist,
+        |    CASE WHEN ok2 THEN 1 ELSE 0 END + CASE WHEN ok3 THEN 1 ELSE 0 END
+        |      AS n_areas_matched,
+        |    -- unmatched-token penalty folded separately (Spark computes it
+        |    -- as its own aggregate, then adds ONE value to the total)
+        |    0.0 + CASE WHEN ((pre_mask
+        |          + CASE WHEN ok2 THEN 2 ELSE 0 END
+        |          + CASE WHEN ok3 THEN 4 ELSE 0 END) & 1) = 0
+        |        THEN CAST(len(tok1) AS DOUBLE) * 3.0 ELSE 0.0 END
+        |      + CASE WHEN ((pre_mask
+        |          + CASE WHEN ok2 THEN 2 ELSE 0 END
+        |          + CASE WHEN ok3 THEN 4 ELSE 0 END) & 2) = 0
+        |        THEN CAST(len(tok2) AS DOUBLE) * 3.0 ELSE 0.0 END
+        |      + CASE WHEN ((pre_mask
+        |          + CASE WHEN ok2 THEN 2 ELSE 0 END
+        |          + CASE WHEN ok3 THEN 4 ELSE 0 END) & 4) = 0
+        |        THEN CAST(len(tok3) AS DOUBLE) * 3.0 ELSE 0.0 END AS unmatched
+        |  FROM fold2),
+        |totals AS (
+        |  SELECT query_id, entity_id, kind, name, location, matched_hn,
+        |    bscore
+        |      + CASE WHEN hn_ok THEN -1.0 - 5.0 ELSE 0.0 END
+        |      + (ar_dist - 2.0 * n_areas_matched)
+        |      + CASE WHEN final_mask = 7 THEN
+        |          CASE WHEN kind = 'street' THEN -3.0 ELSE -2.5 END
+        |        ELSE 0.0 END
+        |      + unmatched
+        |      - CASE WHEN kind <> 'place' THEN 0.0
+        |          WHEN category = 'city' THEN 3.0 WHEN category = 'town' THEN 2.0
+        |          WHEN category = 'village' THEN 1.0 WHEN category = 'locality' THEN -2.5
+        |          ELSE -3.0 END
+        |      - CASE WHEN kind = 'place' THEN
+        |          least(3.0, greatest(0.0, population / 200000.0)) ELSE 0.0 END
+        |      - CASE WHEN kind <> 'place' THEN 0.0
+        |          WHEN name_lang = 'default' THEN 0.5 ELSE -0.1 END AS score
+        |  FROM scored),
+        |marked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, location
+        |      ORDER BY score ASC, entity_id ASC) > 1 AS is_duplicate
+        |  FROM totals),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY is_duplicate ASC, score ASC, entity_id ASC) AS INT) AS rank
+        |  FROM marked)
+        |SELECT query_id, rank, entity_id, kind, name,
+        |  round(score, 4) AS score, is_duplicate, matched_hn
+        |FROM ranked WHERE rank <= 10""".stripMargin
+  )
 }

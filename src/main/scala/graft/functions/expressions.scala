@@ -469,6 +469,41 @@ object ExprKernels {
     dot / math.sqrt(na * nb)
   }
 
+  /** Codepoint counts per Unicode script range, one fused pass — the
+    * script gate for language-ID (CJK and other non-Latin scripts are
+    * identified by script dominance, not trigram profiles; the n-gram
+    * regime differs there). Slots:
+    * 0 latin (ASCII letters + Latin-1/Extended-A letters, × ÷ excluded),
+    * 1 cyrillic, 2 greek, 3 arabic, 4 hebrew, 5 devanagari, 6 thai,
+    * 7 hangul (syllables + jamo + compat jamo), 8 hiragana, 9 katakana,
+    * 10 han (unified + ext A). Surrogate-pair safe. */
+  def scriptCounts(s: String): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val c = new Array[Int](11)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val slot =
+        if ((cp >= 0x41 && cp <= 0x5A) || (cp >= 0x61 && cp <= 0x7A) ||
+          (cp >= 0xC0 && cp <= 0x17F && cp != 0xD7 && cp != 0xF7)) 0
+        else if (cp >= 0x400 && cp <= 0x4FF) 1
+        else if (cp >= 0x370 && cp <= 0x3FF) 2
+        else if (cp >= 0x600 && cp <= 0x6FF) 3
+        else if (cp >= 0x590 && cp <= 0x5FF) 4
+        else if (cp >= 0x900 && cp <= 0x97F) 5
+        else if (cp >= 0xE00 && cp <= 0xE7F) 6
+        else if ((cp >= 0xAC00 && cp <= 0xD7A3) || (cp >= 0x1100 && cp <= 0x11FF) ||
+          (cp >= 0x3130 && cp <= 0x318F)) 7
+        else if (cp >= 0x3040 && cp <= 0x309F) 8
+        else if (cp >= 0x30A0 && cp <= 0x30FF) 9
+        else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)) 10
+        else -1
+      if (slot >= 0) c(slot) += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(c)
+  }
+
   /** Distinct space-free character trigrams in one pass (the string-typed
     * sibling of TrigramKeys; used where the output must be the gram text).
     * O(n) — the `transform(sequence, substr)` formulation is O(n²) on long
@@ -569,6 +604,22 @@ case class TrigramStrings(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): TrigramStrings =
     copy(child = newChild)
   override def prettyName: String = "trigram_strings"
+}
+
+/** Per-script codepoint counts (ExprKernels.scriptCounts): the fused
+  * one-pass script gate for language-ID — returns array<int>[11],
+  * primitive (UnsafeArrayData), fully codegen'd. */
+case class ScriptCounts(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.scriptCounts(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprKernels.scriptCounts($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+  override def prettyName: String = "script_counts"
 }
 
 /** Per-country address formatting (reference formatter.cc:87-159, X14).

@@ -24,6 +24,9 @@ package object functions {
   /** distinct space-free character trigram strings (one pass, O(n)). */
   def trigram_strings(c: Column): Column = col(TrigramStrings(ex(c)))
 
+  /** per-Unicode-script codepoint counts, array<int>[11] (langid gate). */
+  def script_counts(c: Column): Column = col(ScriptCounts(ex(c)))
+
   /** distinct space-skipping byte bigrams packed to u16 ints. */
   def bigram_keys(c: Column): Column = col(BigramKeys(ex(c)))
 

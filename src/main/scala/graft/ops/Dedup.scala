@@ -158,10 +158,14 @@ object Dedup {
     val w = typedLit(hyperplanes)
     val e = load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v")) // primitive float arrays
+    // The sign test runs over integer-quantized coordinates
+    // (floor(x·10⁶) as long): the dot-product sum is then exact and
+    // association-free, so Spark's ordered fold and DuckDB's unordered
+    // SUM can never disagree on the sign of a near-zero dot product.
     val bits = transform(sequence(lit(0), lit(LshBits - 1)), j =>
-      when(aggregate(sequence(lit(1), lit(EmbDim)), lit(0.0d),
-        (acc, i) => acc + element_at(col("v"), i).cast("double") *
-          element_at(element_at(w, (j + 1).cast("int")), i.cast("int"))) > 0d, 1).otherwise(0))
+      when(aggregate(sequence(lit(1), lit(EmbDim)), lit(0L),
+        (acc, i) => acc + floor(element_at(col("v"), i).cast("double") * 1e6) *
+          element_at(element_at(w, (j + 1).cast("int")), i.cast("int"))) > 0L, 1).otherwise(0))
     val bands = e
       .withColumn("bits", bits)
       .select(col("vec_id"), col("v"), col("bits"),
@@ -259,7 +263,8 @@ object Dedup {
         |  FROM (SELECT unnest(generate_series(0, 31)) AS j) j,
         |       (SELECT unnest(generate_series(1, 64)) AS i) i),
         |v AS (
-        |  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS x
+        |  SELECT vec_id, i.i AS i,
+        |    CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i),
         |bits AS (
         |  SELECT vec_id, j, CASE WHEN sum(x * wt) > 0 THEN 1 ELSE 0 END AS bit

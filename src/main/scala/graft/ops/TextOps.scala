@@ -115,9 +115,12 @@ object TextOps {
 
   /** Char-trigram language profiles (Cavnar–Trenkle-style, deterministic):
     * the most frequent DISTINCTIVE space-free trigrams of each language,
-    * derived from its function words. Shared n-grams ("ent", "ion") are
-    * deliberately excluded so profiles discriminate instead of overlap. */
-  private[ops] val langProfiles: Seq[(String, Seq[String])] = Seq(
+    * derived from its function words, written in POST-NORMALIZE space
+    * (casefolded, diacritics stripped: ção→cao, för→for, ї→і). Shared
+    * n-grams ("ent", "ion") are deliberately excluded so profiles
+    * discriminate instead of overlap. Profiles only disambiguate WITHIN
+    * a script — the script gate (script_counts) routes first. */
+  private[ops] val latinProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "ing", "hat", "tha", "thi", "his", "ith",
       "wit", "you", "all", "are", "was", "hav", "not", "for", "oul", "uld",
       "ght", "ere"),
@@ -130,34 +133,100 @@ object TextOps {
     "es" -> Seq("los", "las", "del", "con", "por", "una", "par", "ara",
       "ado", "cio", "ion", "nto", "com", "sta", "ien", "aba", "ndo", "ega",
       "nos", "tra"),
+    "it" -> Seq("che", "gli", "zio", "lla", "tto", "nno", "ono", "ita",
+      "tal", "lia", "ano", "ore", "olt", "lto", "ssi", "osa", "piu", "tut",
+      "ell"),
+    "pt" -> Seq("cao", "oes", "nao", "voc", "oce", "lho", "nha", "eir",
+      "ira", "mos", "amo", "dos", "das", "ele", "seu", "sua", "sso", "bem",
+      "tem"),
+    "nl" -> Seq("het", "een", "nie", "iet", "aar", "ijn", "zij", "maa",
+      "daa", "oor", "gee", "elk", "waa", "jke", "erl", "rla", "ken", "nen",
+      "ede"),
+    "sv" -> Seq("och", "att", "det", "som", "ett", "int", "nte", "til",
+      "ite", "kan", "ska", "ans", "fra", "lig", "iga", "nge", "ver", "sve"),
+    "pl" -> Seq("prz", "rze", "ego", "ych", "owa", "ani", "eni", "czy",
+      "szy", "sze", "dzi", "iej", "ski", "pol", "ach", "owy"),
+    "tr" -> Seq("bir", "lar", "ler", "dir", "mek", "mak", "yor", "iyo",
+      "ile", "kad", "nda", "ini", "tur", "urk", "rki", "iye", "sin", "lik"),
+    "ro" -> Seq("ulu", "lui", "cea", "ele", "rom", "oma", "ati", "tii",
+      "ntr", "tru", "pen", "dea", "ste", "ria", "uri"),
+    "id" -> Seq("ang", "yan", "men", "kan", "ada", "itu", "ter", "nya",
+      "aka", "dan", "dal", "ind", "nes", "ora", "ran", "gan"))
+
+  private[ops] val cyrillicProfiles: Seq[(String, Seq[String])] = Seq(
     "bg" -> Seq("ата", "ите", "ото", "пре", "ста", "ния", "ени", "ато",
       "ова", "ква", "про", "ост", "ват", "ане", "кат", "ето", "ива", "тел",
-      "раз", "нат"))
+      "раз", "нат"),
+    "ru" -> Seq("что", "это", "ого", "его", "ств", "ать", "ить", "тся",
+      "етс", "льн", "ски", "рус", "осс", "жет"),
+    "uk" -> Seq("ння", "ної", "ськ", "цьк", "іст", "іна", "раі", "укр",
+      "ідн", "від", "іль", "ься"),
+    "sr" -> Seq("ије", "јед", "ање", "ење", "има", "срб", "рби", "ући",
+      "ашњ", "дин", "вањ", "ошт"))
 
-  /** Language-ID: per-language distinct-trigram profile hits, argmax with
-    * the deterministic tie order en → de → fr → es → bg → xx. Trigram
-    * extraction is the same one-pass native expression as q12 (linear,
-    * space-free, distinct) so the plan stays codegen'd and scan-shaped. */
+  /** Script-gated language-ID (24 languages): a fused one-pass
+    * script_counts expression tallies codepoints per Unicode script; the
+    * dominant script either names the language directly (el ar he hi th
+    * ko; Han+kana→ja, Han alone→zh — the CJK char-level regime, where
+    * word trigrams don't apply) or routes to that script's trigram
+    * profiles (12 Latin + 4 Cyrillic languages, deterministic tie order).
+    * Everything is scan-shaped and codegen'd — no shuffle, no UDF. */
   def q28LangId(spark: SparkSession, dir: String): DataFrame =
     langIdOn(load(spark, dir, "documents"))
+
+  private val scriptGroups = Seq("latin", "cyrillic", "greek", "arabic",
+    "hebrew", "devanagari", "thai", "hangul", "cjk")
+  private val scriptDirect = Seq("greek" -> "el", "arabic" -> "ar",
+    "hebrew" -> "he", "devanagari" -> "hi", "thai" -> "th", "hangul" -> "ko")
 
   /** The classifier over any (doc_id, text) frame — unit-testable on
     * multilingual samples (TextAnalysisSpec). */
   private[graft] def langIdOn(docs: DataFrame): DataFrame = {
     val d = docs
       .withColumn("tris", trigramStrings(gf.normalize_text(col("text"))))
-    val hits: Seq[(String, Column)] = langProfiles.map { case (lang, prof) =>
-      lang -> size(filter(col("tris"), t => t.isin(prof.map(x => x: Any): _*)))
+      .withColumn("sc", gf.script_counts(col("text")))
+    def scAt(i: Int) = element_at(col("sc"), i)
+    val groupCounts: Seq[(String, Column)] = Seq(
+      "latin" -> scAt(1), "cyrillic" -> scAt(2), "greek" -> scAt(3),
+      "arabic" -> scAt(4), "hebrew" -> scAt(5), "devanagari" -> scAt(6),
+      "thai" -> scAt(7), "hangul" -> scAt(8),
+      "cjk" -> (scAt(9) + scAt(10) + scAt(11)))
+    val m = groupCounts.map(_._2).reduce(greatest(_, _))
+    val scriptPred = groupCounts.foldRight(lit("none"): Column) {
+      case ((g, c), els) => when(c === m && m > 0, lit(g)).otherwise(els)
     }
-    val withHits = hits.foldLeft(d) { case (df, (lang, c)) =>
-      df.withColumn(s"${lang}_hits", c)
+    def profilePred(profs: Seq[(String, Seq[String])]): (Column, Column) = {
+      val hits = profs.map { case (lang, prof) =>
+        lang -> size(filter(col("tris"), t => t.isin(prof.map(x => x: Any): _*)))
+      }
+      val best = hits.map(_._2).reduce(greatest(_, _))
+      val pred = hits.foldRight(lit("xx"): Column) { case ((lang, h), els) =>
+        when(h === best && best > 0, lit(lang)).otherwise(els)
+      }
+      (pred, greatest(best, lit(0)))
     }
-    val best = hits.map { case (l, _) => col(s"${l}_hits") }.reduce(greatest(_, _))
-    val pred = hits.foldRight(lit("xx"): Column) { case ((lang, _), els) =>
-      when(col(s"${lang}_hits") === best && best > 0, lit(lang)).otherwise(els)
-    }
-    withHits.select(col("doc_id") +: pred.as("lang_pred") +:
-      langProfiles.map { case (l, _) => col(s"${l}_hits") }: _*)
+    val (latinPred, latinBest) = profilePred(latinProfiles)
+    val (cyrPred, cyrBest) = profilePred(cyrillicProfiles)
+    val base = d
+      .withColumn("script_pred", scriptPred)
+      .withColumn("script_chars",
+        when(col("script_pred") === "none", lit(0)).otherwise(m))
+    val langPred = scriptDirect.foldLeft(
+      when(col("script_pred") === "latin", latinPred)
+        .when(col("script_pred") === "cyrillic", cyrPred)) {
+      case (acc, (script, lang)) =>
+        acc.when(col("script_pred") === script, lit(lang))
+    }.when(col("script_pred") === "cjk",
+        when(element_at(col("sc"), 9) + element_at(col("sc"), 10) > 0, "ja")
+          .otherwise("zh"))
+      .otherwise(lit("xx"))
+    val profHits =
+      when(col("script_pred") === "latin", latinBest)
+        .when(col("script_pred") === "cyrillic", cyrBest)
+        .otherwise(lit(0))
+    base.select(col("doc_id"), col("script_pred"),
+      langPred.as("lang_pred"), col("script_chars"),
+      profHits.as("prof_hits"))
   }
 
   /** Quality scoring: length/stopword/punct/word-length signals. */
@@ -318,29 +387,89 @@ object TextOps {
         |  round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9 AS accepted
         |FROM cand JOIN interned a ON a.name_id = p1 JOIN interned b ON b.name_id = p2""".stripMargin,
     "q28_langid" -> {
-      val profSql = langProfiles.map { case (lang, prof) =>
+      // mirrors langIdOn exactly: per-codepoint script tally (the SQL
+      // twin of the fused script_counts kernel, same ranges), trigram
+      // profile hits per language, script-gated decision with the same
+      // first-match tie orders.
+      val allProfs = latinProfiles ++ cyrillicProfiles
+      val profSql = allProfs.map { case (lang, prof) =>
         val inList = prof.map(p => s"'$p'").mkString(", ")
-        s"    CAST(sum(CASE WHEN gram IN ($inList) THEN 1 ELSE 0 END) AS INT) AS ${lang}_hits"
+        s"    CAST(sum(CASE WHEN gram IN ($inList) THEN 1 ELSE 0 END) AS INT) AS ${lang}_h"
       }.mkString(",\n")
-      val hitCols = langProfiles.map { case (l, _) => s"${l}_hits" }
-      val best = s"greatest(${hitCols.mkString(", ")})"
-      val predCase = langProfiles.map { case (l, _) =>
-        s"    WHEN ${l}_hits = $best AND $best > 0 THEN '$l'"
-      }.mkString("\n")
-      s"""WITH g AS (
+      val hitCols = allProfs.map { case (l, _) => s"${l}_h" }
+      val latinCols = latinProfiles.map { case (l, _) => s"${l}_h" }
+      val cyrCols = cyrillicProfiles.map { case (l, _) => s"${l}_h" }
+      val latinCase = latinProfiles.map { case (l, _) =>
+        s"WHEN ${l}_h = lb THEN '$l'"
+      }.mkString(" ")
+      val cyrCase = cyrillicProfiles.map { case (l, _) =>
+        s"WHEN ${l}_h = cb THEN '$l'"
+      }.mkString(" ")
+      s"""WITH ch AS (
+         |  SELECT d.doc_id, unicode(substr(d.text, i.i, 1)) AS cp
+         |  FROM documents d, LATERAL (SELECT unnest(generate_series(1, len(d.text))) AS i) i),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+         |      OR (cp BETWEEN 192 AND 383 AND cp <> 215 AND cp <> 247)
+         |      THEN 1 ELSE 0 END) AS INT) AS s_latin,
+         |    CAST(sum(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) AS INT) AS s_cyr,
+         |    CAST(sum(CASE WHEN cp BETWEEN 880 AND 1023 THEN 1 ELSE 0 END) AS INT) AS s_greek,
+         |    CAST(sum(CASE WHEN cp BETWEEN 1536 AND 1791 THEN 1 ELSE 0 END) AS INT) AS s_arabic,
+         |    CAST(sum(CASE WHEN cp BETWEEN 1424 AND 1535 THEN 1 ELSE 0 END) AS INT) AS s_hebrew,
+         |    CAST(sum(CASE WHEN cp BETWEEN 2304 AND 2431 THEN 1 ELSE 0 END) AS INT) AS s_deva,
+         |    CAST(sum(CASE WHEN cp BETWEEN 3584 AND 3711 THEN 1 ELSE 0 END) AS INT) AS s_thai,
+         |    CAST(sum(CASE WHEN (cp BETWEEN 44032 AND 55203) OR (cp BETWEEN 4352 AND 4607)
+         |      OR (cp BETWEEN 12592 AND 12687) THEN 1 ELSE 0 END) AS INT) AS s_hangul,
+         |    CAST(sum(CASE WHEN cp BETWEEN 12352 AND 12447 THEN 1 ELSE 0 END) AS INT) AS s_hira,
+         |    CAST(sum(CASE WHEN cp BETWEEN 12448 AND 12543 THEN 1 ELSE 0 END) AS INT) AS s_kata,
+         |    CAST(sum(CASE WHEN (cp BETWEEN 19968 AND 40959) OR (cp BETWEEN 13312 AND 19903)
+         |      THEN 1 ELSE 0 END) AS INT) AS s_han
+         |  FROM ch GROUP BY 1),
+         |g AS (
          |  SELECT DISTINCT d.doc_id, substr(lower(d.text), i.i, 3) AS gram
          |  FROM documents d, LATERAL (SELECT unnest(generate_series(1, len(d.text) - 2)) AS i) i
          |  WHERE len(d.text) >= 3 AND substr(lower(d.text), i.i, 3) NOT LIKE '% %'),
-         |c AS (
+         |h AS (
          |  SELECT doc_id,
          |$profSql
-         |  FROM g GROUP BY 1)
-         |SELECT d0.doc_id,
-         |  CASE
-         |$predCase
+         |  FROM g GROUP BY 1),
+         |j AS (
+         |  SELECT d0.doc_id,
+         |    ${Seq("s_latin", "s_cyr", "s_greek", "s_arabic", "s_hebrew", "s_deva",
+                    "s_thai", "s_hangul", "s_hira", "s_kata", "s_han")
+                 .map(c => s"coalesce($c, 0) AS $c").mkString(", ")},
+         |    ${hitCols.map(c => s"coalesce($c, 0) AS $c").mkString(", ")}
+         |  FROM documents d0 LEFT JOIN sc ON sc.doc_id = d0.doc_id
+         |    LEFT JOIN h ON h.doc_id = d0.doc_id),
+         |k AS (
+         |  SELECT *, s_hira + s_kata + s_han AS s_cjk,
+         |    greatest(s_latin, s_cyr, s_greek, s_arabic, s_hebrew, s_deva,
+         |      s_thai, s_hangul, s_hira + s_kata + s_han) AS m,
+         |    greatest(${latinCols.mkString(", ")}) AS lb,
+         |    greatest(${cyrCols.mkString(", ")}) AS cb
+         |  FROM j),
+         |k2 AS (
+         |  SELECT *, CASE WHEN m > 0 THEN
+         |      CASE WHEN s_latin = m THEN 'latin' WHEN s_cyr = m THEN 'cyrillic'
+         |        WHEN s_greek = m THEN 'greek' WHEN s_arabic = m THEN 'arabic'
+         |        WHEN s_hebrew = m THEN 'hebrew' WHEN s_deva = m THEN 'devanagari'
+         |        WHEN s_thai = m THEN 'thai' WHEN s_hangul = m THEN 'hangul'
+         |        ELSE 'cjk' END
+         |    ELSE 'none' END AS script_pred
+         |  FROM k)
+         |SELECT doc_id, script_pred,
+         |  CASE script_pred
+         |    WHEN 'latin' THEN CASE WHEN lb > 0 THEN (CASE $latinCase END) ELSE 'xx' END
+         |    WHEN 'cyrillic' THEN CASE WHEN cb > 0 THEN (CASE $cyrCase END) ELSE 'xx' END
+         |    WHEN 'greek' THEN 'el' WHEN 'arabic' THEN 'ar' WHEN 'hebrew' THEN 'he'
+         |    WHEN 'devanagari' THEN 'hi' WHEN 'thai' THEN 'th' WHEN 'hangul' THEN 'ko'
+         |    WHEN 'cjk' THEN CASE WHEN s_hira + s_kata > 0 THEN 'ja' ELSE 'zh' END
          |    ELSE 'xx' END AS lang_pred,
-         |  ${hitCols.map(c => s"coalesce($c, 0) AS $c").mkString(", ")}
-         |FROM documents d0 LEFT JOIN c ON c.doc_id = d0.doc_id""".stripMargin
+         |  CASE WHEN script_pred = 'none' THEN 0 ELSE m END AS script_chars,
+         |  CASE script_pred WHEN 'latin' THEN lb WHEN 'cyrillic' THEN cb
+         |    ELSE 0 END AS prof_hits
+         |FROM k2""".stripMargin
     },
     "q29_quality" -> """WITH d AS (
         |  SELECT doc_id, lower(text) AS norm, string_split(lower(text), ' ') AS tokens

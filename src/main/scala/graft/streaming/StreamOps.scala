@@ -40,21 +40,27 @@ object StreamOps {
       }
   }
 
-  final case class InternedMention(mention_id: Long, string_id: Long, is_new_string: Boolean)
+  final case class InternedMention(mention_id: Long, string_id: Long,
+      match_key: String, is_new_string: Boolean)
 
   /** Streaming incremental string interning — the ingest-side analogue of
     * the batch `er.Pipeline.internStrings` (reference get_or_create_string,
     * typeahead.cc:300-306): a stream of mentions grouped by canonical
     * match key assigns the key's string id on first sight and keeps it
     * stable in GroupState forever after — the get_or_create upsert
-    * semantics — emitting (mention_id, string_id, is_new_string) per
-    * arriving mention. The id is the same content hash the batch path
-    * uses (Pipeline.stringIdHash = xxhash64(match_key)), so streamed ids
-    * equal batch ids; the batch path's collision detect-and-rehash runs
-    * at the periodic batch compaction, not per-event. At cluster scale
-    * the state store shards by key — the same partitioning story as the
-    * batch groupBy.
-    */
+    * semantics — emitting (mention_id, string_id, match_key,
+    * is_new_string) per arriving mention. The id is the same content hash
+    * the batch path uses (Pipeline.stringIdHash = xxhash64(match_key)),
+    * so streamed ids equal batch ids.
+    *
+    * Collision story: state is keyed by match_key, so WITHIN a key the id
+    * is stable by construction; the residual risk is two DIFFERENT keys
+    * hashing to one id (~3 expected at 10^10 distinct strings). The
+    * stream cannot repair that the way the batch path does (the groups
+    * never see each other), which is why match_key rides along in the
+    * output: run [[internIdCollisions]] over the sink table to detect
+    * any cross-key id fusion loudly — same never-silent contract as the
+    * batch `assignStringIds` repair+assert. */
   def incrementalIntern(spark: SparkSession, mentions: DataFrame): Dataset[InternedMention] = {
     import spark.implicits._
     mentions.select(col("match_key").cast("string"), col("mention_id").cast("long"))
@@ -70,9 +76,19 @@ object StreamOps {
           // is_new_string marks exactly one mention: the minimal one of
           // the micro-batch that first carried the key
           val creator = batch.min
-          batch.iterator.map(m => InternedMention(m, sid, prior.isEmpty && m == creator))
+          batch.iterator.map(m =>
+            InternedMention(m, sid, key, prior.isEmpty && m == creator))
       }
   }
+
+  /** Sink-time audit for [[incrementalIntern]]: string ids claimed by more
+    * than one distinct match key (empty = no cross-key hash fusion).
+    * Run against the sink table after each ingest window; a non-empty
+    * result means those ids must be re-keyed before clustering. */
+  def internIdCollisions(interned: DataFrame): DataFrame =
+    interned.groupBy(col("string_id"))
+      .agg(countDistinct(col("match_key")).as("n_keys"))
+      .filter(col("n_keys") > 1)
 
   final case class DedupMark(doc_id: Long, text_hash: String, keeper: Long,
       is_duplicate: Boolean)

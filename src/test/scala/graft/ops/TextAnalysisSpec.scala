@@ -33,9 +33,44 @@ class TextAnalysisSpec extends AnyFunSuite {
       "приготвяха храната за цялото семейство в къщата като се радваха"),
     ("bg", "познанието за историята на страната е важно за всички които " +
       "искат да разбират какво става в обществото и да преценяват нещата"),
+    ("it", "che bella giornata ci sono molti italiani che parlano della " +
+      "situazione politica e tutti vogliono sapere che cosa succede"),
+    ("pt", "você não sabe o que eles fazem mas nós temos uma casa bem " +
+      "grande e seu irmão disse que a nação precisa de todos"),
+    ("nl", "het is een mooie dag en wij gaan naar de winkel waar de " +
+      "kinderen een nieuwe fiets kunnen kopen want zij hebben geen geld " +
+      "maar wel een goed idee"),
+    ("sv", "och det är inte alltid lätt att veta om man kan eller ska " +
+      "gå till skolan men många svenska barn vill lära sig något nytt " +
+      "varje dag"),
+    ("pl", "przez wiele lat polski rynek pracy zmienia się szybko a " +
+      "ludzie często szukają nowej pracy czy nawet szybciej w innych " +
+      "miastach naszego kraju"),
+    ("tr", "bir gün türkiye de yaşayan insanlar için yeni bir şey " +
+      "yapmak istedi ve onlar bu konuda çok şey söyledi"),
+    ("ro", "pentru ca acest lucru este important pentru romania si " +
+      "pentru oamenii care vor sa inteleaga mai multe lucruri despre " +
+      "istoria tarii lor"),
+    ("id", "orang yang ada di indonesia itu akan menjadi teman yang " +
+      "baik dan mereka terus bekerja dalam kehidupan nyata sehari hari"),
+    ("ru", "что это значит для русских людей которые хотят жить лучше " +
+      "и узнать больше о своей стране может быть скоро все изменится"),
+    ("uk", "українські люди хочуть жити у своїй країні де багато " +
+      "цікавих місць і кожна людина від того має більше можливостей " +
+      "і це важливе питання"),
+    ("sr", "најважније је да сви људи имају једнаке могућности и да " +
+      "србија буде земља у којој свако може да оствари своје жеље"),
+    ("el", "η ελλάδα είναι μια χώρα με μεγάλη ιστορία και πολλά νησιά"),
+    ("ar", "هذه هي اللغة العربية التي يتحدث بها الناس في بلدان كثيرة"),
+    ("he", "זוהי השפה העברית שבה אנשים מדברים בכל יום"),
+    ("hi", "यह हिंदी भाषा है जो भारत में बोली जाती है"),
+    ("th", "นี่คือภาษาไทยที่คนพูดกันทุกวัน"),
+    ("ko", "이것은 한국어 문장입니다 많은 사람들이 말합니다"),
+    ("ja", "これは日本語の文章ですみんなが話します"),
+    ("zh", "这是中文句子很多人都说这种语言"),
     ("xx", "zzz qqq 123 456"))
 
-  test("trigram-profile langid classifies 5 languages + control correctly") {
+  test("script-gated trigram langid classifies 24 languages + control correctly") {
     val df = samples.zipWithIndex
       .map { case ((lang, text), i) => (i.toLong, lang, text) }
       .toDF("doc_id", "expected", "text")

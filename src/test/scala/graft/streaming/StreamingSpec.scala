@@ -67,6 +67,8 @@ class StreamingSpec extends AnyFunSuite {
     // exactly one is_new_string per distinct key
     val newCount = spark.table("intern_out").filter($"is_new_string").count()
     assert(newCount == batch.select($"string_id").distinct().count())
+    // sink-time collision audit: no id claimed by two distinct keys
+    assert(StreamOps.internIdCollisions(spark.table("intern_out")).isEmpty)
   }
 
   test("streaming exact dedup equals batch q20 (keeper + copy counts)") {
