@@ -125,10 +125,12 @@ object Pipeline {
   // ---------------------------------------------------------------- intern
 
   /** Deterministic, collision-FREE Long ids for the interned strings.
-    * string_id = xxhash64(match_key), then a detect-and-rehash loop: any
-    * id carried by more than one distinct key is reassigned with the
-    * round number mixed into the hash, re-checked against the full set,
-    * until no duplicates remain. The result is a pure function of the
+    * string_id = xxhash64(match_key), then ONE detect-and-rehash repair
+    * round: any id carried by more than one distinct key is reassigned
+    * with a tag mixed into the hash and re-checked against the full set;
+    * a secondary collision (odds ~1e-9 after ~3 expected primaries at
+    * 10^10 keys) aborts the job loudly via assert_true rather than
+    * looping further. The result is a pure function of the
     * distinct-key set (partition-invariant) and keeps the clustering loop
     * on 8-byte keys — half the shuffle width of a 128-bit label — while
     * removing the silent-cluster-fusion risk of raw 64-bit hashing.
@@ -612,7 +614,19 @@ object Pipeline {
         Paths.get(s"${cfg.workDir}/label_metrics_iter_$iter.jsonl"), metricsJson)
 
       labels = checked.select($"id", $"label")
-      converged = delta.signum() == 0
+      // The zero-delta test only certifies convergence one full round
+      // AFTER the fixpoint — a pure "confirm" round that costs a 2-step
+      // propagate + checkpoint write. A direct fixpoint probe is far
+      // cheaper (two shuffled-hash joins over the pre-partitioned edge
+      // side, no write, early-out on first improvable edge): min-label
+      // propagation is at fixpoint iff NO edge (a,b) still has
+      // label(b) < label(a). Probing after each round replaces the
+      // whole confirm round with one ~10× cheaper aggregate.
+      converged = delta.signum() == 0 || timed(s"cluster.probe_$iter") {
+        und.join(labels.select($"id".as("b"), $"label".as("lb")), Seq("b"))
+          .join(labels.select($"id".as("a"), $"label".as("la")), Seq("a"))
+          .filter($"lb" < $"la").limit(1).isEmpty
+      }
       prevSum = curSum
       iter += 1
     } finally {

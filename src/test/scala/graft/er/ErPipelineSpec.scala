@@ -108,7 +108,11 @@ class ErPipelineSpec extends AnyFunSuite {
     assert(labelsFull.exceptAll(labelsResumed).isEmpty &&
       labelsResumed.exceptAll(labelsFull).isEmpty,
       "resumed labels differ from uninterrupted run")
-    assert(mFull.size == mPart.size + mResumed.size)
+    // A resumed run cannot know the checkpointed labels already passed the
+    // in-loop fixpoint probe, so it may spend at most ONE extra confirm
+    // round beyond the uninterrupted iteration count — never fewer rounds.
+    assert(mPart.size + mResumed.size >= mFull.size &&
+      mPart.size + mResumed.size <= mFull.size + 1)
   }
 
   test("context evidence disambiguates an equidistant satellite (A6 analogue)") {
