@@ -74,6 +74,12 @@ object Pipeline {
       maxIterations: Int = 20,
       workDir: String = "/tmp/graft_er",
       resume: Boolean = false,
+      // clustering engine: matchEdges emits a functional forest (oriented
+      // satellite→hub, one out-edge per node), so components resolve by
+      // pointer-jumping over the parent map (forestLabels) in log(depth)
+      // rounds. false = generic undirected min-label propagation
+      // (cluster) — the fallback for arbitrary edge sets / A-B testing.
+      forestCluster: Boolean = true,
       // false = skip all metric-only actions (counts/stats collects) so a
       // bench run is one lazy DAG per cluster iteration; production keeps
       // true (the north_rule wants logged stats).
@@ -638,6 +644,121 @@ object Pipeline {
     (labels, metrics.result())
   }
 
+  /** Connected components specialised to the FOREST `matchEdges` emits.
+    *
+    * Every accepted edge is oriented satellite→hub strictly upward in the
+    * (freq, id) total order, and the rnk=1 top-hub cap keeps exactly one
+    * out-edge per satellite — so the match graph is a functional forest:
+    * acyclic, ≤1 parent per node. Components of a forest need no
+    * undirected min-label propagation. Pointer-jumping
+    * (parent := parent(parent)) doubles the resolved depth per round over
+    * a table with ONE row per satellite — vs 2 rows per edge, a union and
+    * a groupBy per propagation STEP in `cluster` — so a depth-d tree
+    * resolves in ceil(log2 d) rounds (real variant forests: d ≤ 3), and
+    * the component label (min member id, bit-identical to `cluster`'s
+    * fixpoint on the same edges) is one partial-aggregating groupBy at
+    * the end.
+    *
+    * Same operational contract as `cluster`: each round checkpoints the
+    * parent map to `parents_iter_k` parquet (lineage cut + crash resume
+    * via cfg.resume), appends per-partition metrics JSONL, and converges
+    * via a zero-advanced observe riding the write or an early-out
+    * fixpoint probe (any parent that still has a parent). Root-heavy
+    * skew (a mega-hub's satellites all carry the hub's key) stays with
+    * sort-merge joins so AQE skew-split can divide hot partitions, and
+    * the min-per-root aggregate combines map-side by construction.
+    */
+  def forestLabels(
+      vertices: DataFrame, // (id)
+      edges: DataFrame, // (src, dst) — unique src, acyclic
+      cfg: Config): (DataFrame, Vector[IterationMetrics]) = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val fs = new java.io.File(cfg.workDir)
+    fs.mkdirs()
+
+    // data-sized loop width (same rationale as `cluster`): one row per
+    // satellite, ~2M rows per partition, floor of two waves per core
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val minParts = 2 * spark.sparkContext.defaultParallelism
+    val par0 = edges.select($"src".as("id"), $"dst".as("par"))
+    val parRows = par0.count()
+    val loopParts = math.max(minParts.toLong, math.min(
+      math.max(sessionParts, minParts).toLong,
+      parRows / 2000000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+
+    def parPath(i: Int) = s"${cfg.workDir}/parents_iter_$i"
+    val startIter =
+      if (cfg.resume) {
+        val done = Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
+          .map(_.getName).filter(_.startsWith("parents_iter_"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("parents_iter_").toInt).toOption)
+        if (done.isEmpty) 0 else done.max + 1
+      } else 0
+
+    var par =
+      if (startIter > 0) graft.ops.TableIO.read(spark, parPath(startIter - 1))
+      else par0
+
+    val metrics = Vector.newBuilder[IterationMetrics]
+    var iter = startIter
+    var converged = false
+    try while (!converged && iter < cfg.maxIterations) {
+      val grand = par.select($"id".as("par"), $"par".as("gpar"))
+      val jumped = par.join(grand, Seq("par"), "left")
+        .select($"id", coalesce($"gpar", $"par").as("par"),
+          $"gpar".isNotNull.cast("long").as("advanced"))
+      val obs = org.apache.spark.sql.Observation(s"parents_iter_$iter")
+      timed(s"forest.write_$iter") {
+        jumped.observe(obs, sum($"advanced").as("advanced"))
+          .select($"id", $"par")
+          .write.mode(SaveMode.Overwrite).format(graft.ops.TableIO.format)
+          .save(parPath(iter))
+      }
+      val advanced = obs.get.apply("advanced") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+      }
+      val checked = graft.ops.TableIO.read(spark, parPath(iter))
+      val perPartition = timed(s"forest.metrics_$iter") {
+        checked.groupBy(spark_partition_id().as("partition_id"))
+          .agg(count(lit(1)).as("rows")).collect()
+      }
+      val rows = perPartition.map(_.getLong(1)).sum
+      metrics += IterationMetrics(
+        iter, java.math.BigDecimal.valueOf(advanced), rows, perPartition.length)
+      val metricsJson = perPartition.sortBy(_.getInt(0)).map(r =>
+        s"""{"iteration":$iter,"partition_id":${r.getInt(0)},""" +
+          s""""rows":${r.getLong(1)},"advanced":$advanced}""").mkString("", "\n", "\n")
+      Files.writeString(
+        Paths.get(s"${cfg.workDir}/parent_metrics_iter_$iter.jsonl"), metricsJson)
+      par = checked
+      // fixpoint iff no parent still has a parent; probing after an
+      // advancing round saves the pure confirm round (early-out limit 1)
+      converged = advanced == 0L || timed(s"forest.probe_$iter") {
+        par.join(par.select($"id".as("par")), Seq("par"), "left_semi")
+          .limit(1).isEmpty
+      }
+      iter += 1
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+
+    // assemble: every tree member (satellites + the root itself) grouped
+    // by root, labeled with the min member id; isolated vertices label
+    // themselves. Partial aggregation absorbs root skew map-side.
+    val rootSelf = par.select($"par".as("id"), $"par").distinct()
+    val all = par.unionByName(rootSelf)
+    val minPerRoot = all.groupBy($"par").agg(min($"id").as("label"))
+    val treeLabels = all.join(minPerRoot, Seq("par")).select($"id", $"label")
+    val labels = vertices.select(col(vertices.columns.head).as("id"))
+      .join(treeLabels, Seq("id"), "left")
+      .select($"id", coalesce($"label", $"id").as("label"))
+    (labels, metrics.result())
+  }
+
   // ---------------------------------------------------------------- eval
 
   final case class EvalResult(
@@ -815,8 +936,9 @@ object Pipeline {
     // iterating label propagation over every mention would shuffle the
     // full corpus per iteration), then expand to mentions with ONE join
     // through the membership table.
-    val (stringLabels, metrics) = timed("cluster")(cluster(
-      strings.select($"string_id"), accepted, cfg))
+    val (stringLabels, metrics) = timed("cluster")(
+      if (cfg.forestCluster) forestLabels(strings.select($"string_id"), accepted, cfg)
+      else cluster(strings.select($"string_id"), accepted, cfg))
     // Expand string labels to mentions with an EXPLICITLY SALTED join:
     // membership is Zipf-skewed on string_id (a hot surface form carries
     // millions of mentions on a single key at corpus scale, all hashed to

@@ -54,6 +54,28 @@ class ErPipelineSpec extends AnyFunSuite {
       s"universe size: $weighted vs $expanded")
   }
 
+  test("forestLabels equals generic cluster labels on real match edges") {
+    val cfg = Pipeline.Config(seed = 42L, nPages = 800, nEntities = 150,
+      workDir = freshDir("forest_eq"))
+    val pages = Corpus.pages(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
+    val mentions = Pipeline.extractMentions(pages)
+    val (strings, _) = Pipeline.internStrings(mentions)
+    val (pairs, _) = Pipeline.candidatePairs(strings, cfg)
+    val edges = Pipeline.matchEdges(pairs, strings, cfg).cache()
+    val vertices = strings.select($"string_id")
+    // forest precondition: one out-edge per satellite, strictly acyclic
+    assert(edges.groupBy($"src").count().filter($"count" > 1).isEmpty,
+      "matchEdges must emit at most one out-edge per node")
+    val (forest, fm) = Pipeline.forestLabels(vertices, edges,
+      cfg.copy(workDir = freshDir("forest_eq_f")))
+    val (generic, _) = Pipeline.cluster(vertices, edges,
+      cfg.copy(workDir = freshDir("forest_eq_g")))
+    assert(forest.exceptAll(generic).isEmpty && generic.exceptAll(forest).isEmpty,
+      "forest labels diverge from generic min-label fixpoint")
+    assert(fm.nonEmpty && fm.size <= 3,
+      s"variant forest should resolve in <=3 pointer-jump rounds, took ${fm.size}")
+  }
+
   test("extraction is byte-identical per url regardless of partitioning") {
     val pages1 = Corpus.pages(spark, 200, 50, 42L).toDF().repartition(1)
     val pages2 = Corpus.pages(spark, 200, 50, 42L).toDF().repartition(17)
@@ -67,18 +89,14 @@ class ErPipelineSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "2")
-      val r1 = Pipeline.run(spark, Pipeline.Config(seed = 11L, nPages = 400,
+      val o1 = Pipeline.runPipeline(spark, Pipeline.Config(seed = 11L, nPages = 400,
         nEntities = 80, workDir = freshDir("inv2")))
+      val l1 = o1.stringLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val r2 = Pipeline.run(spark, Pipeline.Config(seed = 11L, nPages = 400,
+      val o2 = Pipeline.runPipeline(spark, Pipeline.Config(seed = 11L, nPages = 400,
         nEntities = 80, workDir = freshDir("inv8")))
-      val l1 = spark.read.parquet(s"/tmp/graft_test_inv2/labels_iter_${r1.iterations - 1}")
-        .select($"id", $"label")
-      val l2 = spark.read.parquet(s"/tmp/graft_test_inv8/labels_iter_${r2.iterations - 1}")
-        .select($"id", $"label")
-      assert(l1.exceptAll(l2).isEmpty && l2.exceptAll(l1).isEmpty,
-        "cluster labels differ across parallelism levels")
-      assert(r1.eval.f1 == r2.eval.f1)
+      val l2 = o2.stringLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(l1.sameElements(l2), "cluster labels differ across parallelism levels")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
