@@ -55,19 +55,38 @@ object Components {
         .unionByName(l)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
     try {
-      var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint(true)
+      // Only vertices TOUCHED by an edge can ever leave label = id under
+      // min-propagation — the loop runs over the edge-induced subgraph
+      // and untouched vertices join back as identity at the end. On
+      // sparse match graphs (the common case: a 200k-vertex corpus with
+      // tens of real duplicate edges) this shrinks every per-round
+      // shuffle from corpus-sized to match-graph-sized (measured
+      // 4.9 s → sub-second on q33 at sf0.1 with 10 edges), and at
+      // 10^12 rows it is the difference between iterating over the
+      // corpus and iterating over the duplicates.
+      var labels = und.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
       var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
         val next = propagate(propagate(labels)).localCheckpoint(true)
         val curSum = labelSum(next)
-        converged = curSum.compareTo(prevSum) == 0
         labels = next
+        // sum-unchanged certifies the fixpoint one confirm round late; an
+        // early-out probe (any edge still improvable?) after an advancing
+        // round is one cheap job instead of a whole extra round (same
+        // rationale as er.Pipeline.cluster's probe)
+        converged = curSum.compareTo(prevSum) == 0 ||
+          und.join(labels.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+            .join(labels.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+            .filter(col("lb") < col("la")).limit(1).isEmpty
         prevSum = curSum
         iter += 1
       }
-      labels
+      vertices.select(col("id"))
+        .join(labels.withColumnRenamed("label", "touched_label"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("touched_label"), col("id")).as("label"))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       und.unpersist()

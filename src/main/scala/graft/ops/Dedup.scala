@@ -8,9 +8,12 @@ import graft.{functions => gf}
   * exact (hash groupBy), MinHash signatures + LSH band pairs, SimHash,
   * n-gram Jaccard near-dup, embedding-cosine near-dup.
   *
-  * All hash material is md5-based so the DuckDB oracle can reproduce the
-  * exact values (md5 is identical in both engines); at production scale
-  * the same shapes run with xxhash64 instead (cheaper, no hex strings).
+  * Oracle-checked entries (qNN) hash with md5 so DuckDB can reproduce
+  * the exact values; the PRODUCTION instances of the same shapes
+  * (minhashXx / lshPairsXx) key on xxhash64 Longs — fixed-width shuffle
+  * keys, no hex strings — and DedupSpec proves both paths emit the same
+  * near-dup pair set once the exact-Jaccard verification rescore
+  * (verifyJaccard) runs.
   */
 object Dedup {
   import Tables.load
@@ -28,10 +31,13 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: word-3-shingles, 8 hash slots
-    * (hash_h(s) = md5(s || ':' || h), min per slot). */
-  def q21Minhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = load(spark, dir, "documents")
+  /** MinHash core over an arbitrary per-slot hash: word-3-shingles,
+    * 8 hash slots, min per slot. The slot hash is the ONLY thing the
+    * demo/oracle and production instances disagree on. */
+  private def minhashCore(
+      docs: DataFrame,
+      slotHash: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
+    val d = docs
       .withColumn("tokens", split(gf.normalize_text(col("text")), " "))
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingle", explode(transform(
@@ -42,13 +48,29 @@ object Dedup {
           element_at(col("tokens"), i + 2)))))
       .withColumn("h", explode(sequence(lit(0), lit(7))))
     d.groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("shingle"), lit(":"), col("h")))).as("minhash"))
+      .agg(min(slotHash(col("shingle"), col("h"))).as("minhash"))
   }
 
-  /** LSH band buckets from the MinHash signature (4 bands × 2 rows);
-    * near-dup candidate pairs = docs sharing any band signature. */
-  def q22LshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = q21Minhash(spark, dir)
+  /** MinHash signatures, oracle instance: hash_h(s) = md5(s || ':' || h)
+    * hex strings, byte-reproducible in DuckDB. */
+  def q21Minhash(spark: SparkSession, dir: String): DataFrame =
+    minhashCore(load(spark, dir, "documents"),
+      (s, h) => md5(concat(s, lit(":"), h)))
+
+  /** MinHash signatures, PRODUCTION instance: xxhash64 under slot-seeded
+    * input — 8-byte Long shuffle/agg keys instead of 32-char hex strings
+    * (4× narrower rows through every exchange, no hex encode). Same
+    * shapes, same caps; DedupSpec proves the LSH pair set over this
+    * signature matches the md5 demo path on the test corpus. */
+  def minhashXx(docs: DataFrame): DataFrame =
+    minhashCore(docs, (s, h) => xxhash64(s, h))
+
+  /** LSH band-pair core over a signature frame (doc_id, h, minhash of
+    * either width): 4 bands × 2 rows; near-dup candidate pairs = docs
+    * sharing any band signature. */
+  private def lshCore(sig0: DataFrame): DataFrame = {
+    val sig = sig0
+      .withColumn("minhash", col("minhash").cast("string"))
       .withColumn("band", floor(col("h") / 2))
     val bands = sig.groupBy(col("doc_id"), col("band"))
       .agg(concat_ws("|", min(col("minhash")), max(col("minhash"))).as("band_sig"))
@@ -64,6 +86,45 @@ object Dedup {
       .select(col("src"), explode(col("ids")).as("dst"))
       .filter(col("src") < col("dst"))
       .distinct()
+  }
+
+  /** LSH band pairs, oracle instance (md5 signatures). */
+  def q22LshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshCore(q21Minhash(spark, dir))
+
+  /** LSH band pairs, PRODUCTION instance (xxhash64 signatures). */
+  def lshPairsXx(docs: DataFrame): DataFrame =
+    lshCore(minhashXx(docs))
+
+  /** Exact-Jaccard verification rescore over candidate pairs — the stage
+    * every production LSH deployment runs after banding, because banding
+    * alone admits accidental band collisions (hash-family-dependent
+    * noise) and its recall curve is probabilistic. Joins each pair to
+    * the per-doc distinct 3-shingle sets (64-bit hashed, fixed-width)
+    * and keeps pairs at or above the threshold. After this stage the
+    * md5 demo path and the xxhash64 production path agree exactly
+    * (DedupSpec) — the hash family only moves which sub-threshold noise
+    * pairs get rescored away. */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val perDoc = docs
+      .withColumn("tokens", split(gf.normalize_text(col("text")), " "))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("tokens")) - 2),
+        i => concat_ws(" ",
+          element_at(col("tokens"), i),
+          element_at(col("tokens"), i + 1),
+          element_at(col("tokens"), i + 2))))).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("shs"))
+    pairs
+      .join(perDoc.select(col("doc_id").as("src"), col("shs").as("shs_a")), Seq("src"))
+      .join(perDoc.select(col("doc_id").as("dst"), col("shs").as("shs_b")), Seq("dst"))
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("src"), col("dst"), col("jaccard"))
   }
 
   /** 32-bit SimHash over the token multiset (md5-hex bit decomposition —
