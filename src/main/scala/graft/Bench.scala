@@ -32,10 +32,12 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
     }
 
-    // best-of-2 at the target sf: a single local[32] JVM has multi-second
-    // GC/scheduling noise per query — min-of-two isolates engine time
+    // best-of-3 at the target sf: a single local[32] JVM has multi-second
+    // GC/scheduling noise per query (measured 2× same-code variance on
+    // this host even idle — THP compaction stalls), and two samples can
+    // both land on a stall — min-of-three matches the ER probe's policy
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -690,6 +690,7 @@ object Pipeline {
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
 
     def parPath(i: Int) = s"${cfg.workDir}/parents_iter_$i"
+    def labelPath(i: Int) = s"${cfg.workDir}/labels_iter_$i"
     val startIter =
       if (cfg.resume) {
         val done = Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
@@ -753,10 +754,20 @@ object Pipeline {
     val all = par.unionByName(rootSelf)
     val minPerRoot = all.groupBy($"par").agg(min($"id").as("label"))
     val treeLabels = all.join(minPerRoot, Seq("par")).select($"id", $"label")
-    val labels = vertices.select(col(vertices.columns.head).as("id"))
+    val assembled = vertices.select(col(vertices.columns.head).as("id"))
       .join(treeLabels, Seq("id"), "left")
       .select($"id", coalesce($"label", $"id").as("label"))
-    (labels, metrics.result())
+    // materialize the FINAL labels once (same `labels_iter_k` naming as
+    // the generic engine, so every labels consumer — resume tooling,
+    // ScalingBench's cross-level identity check — reads either engine's
+    // output identically). One small write per run (one row per string),
+    // and the read-back cuts the assembly lineage before the
+    // corpus-sized membership-expand join reuses the frame.
+    timed(s"forest.labels_write") {
+      assembled.write.mode(SaveMode.Overwrite)
+        .format(graft.ops.TableIO.format).save(labelPath(iter))
+    }
+    (graft.ops.TableIO.read(spark, labelPath(iter)), metrics.result())
   }
 
   // ---------------------------------------------------------------- eval
