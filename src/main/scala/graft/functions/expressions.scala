@@ -365,6 +365,203 @@ object ExprKernels {
     cnt
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** split on a single space keeping ALL empty tokens (leading, interior,
+    * trailing) — exactly Spark's `split(str, " ")` (limit -1 /
+    * Pattern.split(s, -1)) so the fused shingle kernels tokenize
+    * byte-identically to the declarative pipeline they replace. */
+  private def splitKeepAll(s: String): Array[String] = {
+    var n = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') n += 1; i += 1 }
+    val out = new Array[String](n)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { out(k) = s.substring(start, i); k += 1; start = i + 1 }
+      i += 1
+    }
+    out(k) = s.substring(start)
+    out
+  }
+
+  /** UTF-8 bytes of every word-3-shingle of `norm` (tokens joined by one
+    * space), in document order; null when the doc has < 3 tokens — the
+    * same row-drop the declarative `filter(size(tokens) >= 3)` did. */
+  private def shingleByteSeqs(norm: String): Array[Array[Byte]] = {
+    val toks = splitKeepAll(norm)
+    if (toks.length < 3) return null
+    val out = new Array[Array[Byte]](toks.length - 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    out
+  }
+
+  /** unsigned lexicographic byte compare — the digest order whose hex
+    * encoding (monotone per byte: '0'-'9' < 'a'-'f') is exactly the
+    * string order `min(md5_hex)` aggregated over. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xFF; val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val c = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      c(2 * i) = hexDigits((d(i) >> 4) & 0xF).toByte
+      c(2 * i + 1) = hexDigits(d(i) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(c)
+  }
+
+  /** Fused q21 MinHash signature, oracle hash family: per slot h∈[0,8),
+    * min over shingles of md5(shingle || ':' || h) as lowercase hex —
+    * byte-identical to the former explode→groupBy(min) pipeline (and to
+    * the DuckDB oracle), computed map-side in one pass. Slot mins are
+    * compared as raw digests (hex encoding is order-preserving), hex is
+    * emitted 8× per doc instead of 8× per shingle. */
+  def minhashMd5(norm: UTF8String): GenericArrayData = {
+    val shingles = shingleByteSeqs(norm.toString)
+    if (shingles == null) return null
+    val md = md5Local.get()
+    val best = new Array[Array[Byte]](8)
+    var si = 0
+    while (si < shingles.length) {
+      val sb = shingles(si)
+      var h = 0
+      while (h < 8) {
+        md.reset()
+        md.update(sb)
+        md.update(':'.toByte)
+        md.update(('0' + h).toByte)
+        val d = md.digest()
+        if (best(h) == null || unsignedLess(d, best(h))) best(h) = d
+        h += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(best.map(hex(_): Any))
+  }
+
+  /** Fused MinHash signature, production hash family: per slot h,
+    * min over shingles of Spark's xxhash64(shingle, h) — replicated
+    * exactly as XXH64.hashInt(h, XXH64.hashUnsafeBytes(bytes, 42)), the
+    * two-child seed chain the builtin evaluates. array<long>[8]. */
+  def minhashXx(norm: UTF8String): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val shingles = shingleByteSeqs(norm.toString)
+    if (shingles == null) return null
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val best = new Array[Long](8)
+    java.util.Arrays.fill(best, Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val sb = shingles(si)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(sb, off, sb.length, 42L)
+      var h = 0
+      while (h < 8) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(h, base)
+        if (v < best(h)) best(h) = v
+        h += 1
+      }
+      si += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(best)
+  }
+
+  /** Fused q23 shingle-set hash: sorted distinct xxhash64(shingle) longs
+    * (seed 42, single-child — identical values to the builtin), the
+    * map-side replacement for explode→groupBy(collect_set). */
+  def shingleHashes(norm: UTF8String): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val shingles = shingleByteSeqs(norm.toString)
+    if (shingles == null) return null
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val hs = new Array[Long](shingles.length)
+    var i = 0
+    while (i < shingles.length) {
+      val sb = shingles(i)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(sb, off, sb.length, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var n = 0
+    var j = 0
+    while (j < hs.length) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(n) = hs(j); n += 1 }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(hs, n))
+  }
+
+  /** q25 hyperplane weights as +1 bitmasks: bit (i-1) of mask j set ⇔
+    * hyperplane j gives dim i weight +1 (else −1) — parity of the first
+    * hex digit of md5("j:i"), the same public derivation the DuckDB
+    * oracle computes in SQL (ops/Dedup.scala q25 oracle, `w` CTE). */
+  private lazy val lshPlusMasks: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(32) { j =>
+      var m = 0L
+      var i = 1
+      while (i <= 64) {
+        val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xF) % 2 == 1) m |= 1L << (i - 1)
+        i += 1
+      }
+      m
+    }
+  }
+
+  /** One-pass 32-bit hyperplane signature → 8 packed 4-bit band values.
+    * Coordinates are integer-quantized (floor(x·10⁶) as long) before the
+    * dot product, so the sum is exact and association-free — Spark and
+    * DuckDB's unordered SUM can never disagree on a near-zero sign. */
+  def lshBandVals(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val n = v.numElements()
+    require(n >= 64, s"lsh_band_vals requires 64-dim embeddings, got $n")
+    val q = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      q(i) = math.floor(x * 1e6).toLong
+      i += 1
+    }
+    val out = new Array[Int](8)
+    var j = 0
+    while (j < 32) {
+      val m = lshPlusMasks(j)
+      var dot = 0L
+      var k = 0
+      while (k < 64) {
+        dot += (if ((m & (1L << k)) != 0L) q(k) else -q(k))
+        k += 1
+      }
+      if (dot > 0L) out(j >> 2) |= 1 << (j & 3)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def sift4(l: UTF8String, r: UTF8String): Int = {
     val lb = l.getBytes
     val rb = r.getBytes
@@ -620,6 +817,110 @@ case class ScriptCounts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
     copy(child = newChild)
   override def prettyName: String = "script_counts"
+}
+
+/** Fused MinHash signature over normalized text (oracle md5-hex family):
+  * ExprKernels.minhashMd5 — word-3-shingles, 8 slot mins, one map-side
+  * pass; NULL for docs under 3 tokens (the declarative filter's row
+  * drop). Replaces an explode(shingles×8)→groupBy(doc,h) exchange with
+  * zero shuffle. String → array<string>[8]. */
+case class MinhashMd5(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.minhashMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftMh")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  graft.functions.ExprKernels.minhashMd5($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinhashMd5 =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_md5"
+}
+
+/** Fused MinHash signature, production hash family (Spark-chained
+  * xxhash64 longs, ExprKernels.minhashXx). String → array<bigint>[8]. */
+case class MinhashXx(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.minhashXx(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftMhx")
+      s"""
+         |org.apache.spark.sql.catalyst.expressions.UnsafeArrayData $r =
+         |  graft.functions.ExprKernels.minhashXx($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinhashXx =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_xx"
+}
+
+/** Fused distinct shingle-hash set (sorted xxhash64 longs,
+  * ExprKernels.shingleHashes) — the q23/verifyJaccard per-doc set without
+  * the explode→collect_set exchange. String → array<bigint>. */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression with StringArgs {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.shingleHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftShs")
+      s"""
+         |org.apache.spark.sql.catalyst.expressions.UnsafeArrayData $r =
+         |  graft.functions.ExprKernels.shingleHashes($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** q25 random-hyperplane LSH signature, fused: 32 quantized ±1-weight
+  * dot products (md5-parity weights — bit-identical to the DuckDB
+  * oracle's independent derivation) packed into 8 4-bit band values in
+  * ONE pass over the 64-dim embedding (ExprKernels.lshBandVals). Replaces
+  * a 32×64 `aggregate` HOF tree — the dominant scalar cost of the
+  * embedding near-dup scan. array<float|double>[64] → array<int>[8]. */
+case class LshBandVals(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_vals requires array<float> or array<double>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.lshBandVals(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprKernels.lshBandVals($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): LshBandVals =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_band_vals"
 }
 
 /** Per-country address formatting (reference formatter.cc:87-159, X14).

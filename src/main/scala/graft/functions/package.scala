@@ -74,6 +74,18 @@ package object functions {
   def point_in_ring(ring: Column, x: Column, y: Column): Column =
     col(PointInRing(ex(ring), ex(x), ex(y)))
 
+  /** fused q25 hyperplane-LSH band values: array<float|double>[64] → array<int>[8]. */
+  def lsh_band_vals(v: Column): Column = col(LshBandVals(ex(v)))
+
+  /** fused MinHash signature, oracle md5-hex family: norm text → array<string>[8]. */
+  def minhash_md5(c: Column): Column = col(MinhashMd5(ex(c)))
+
+  /** fused MinHash signature, production xxhash64 family: norm text → array<bigint>[8]. */
+  def minhash_xx(c: Column): Column = col(MinhashXx(ex(c)))
+
+  /** fused distinct shingle xxhash64 set: norm text → sorted array<bigint>. */
+  def shingle_hashes(c: Column): Column = col(ShingleHashes(ex(c)))
+
   /** per-country address formatting (reference formatter.cc:87-159). */
   def format_address(houseNumber: Column, road: Column, postcode: Column,
       city: Column, country: Column, countryCode: Column): Column =
@@ -98,6 +110,10 @@ package object functions {
     reg.createOrReplaceTempFunction("match_key", es => MatchKey(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_band_vals", es => LshBandVals(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_md5", es => MinhashMd5(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_xx", es => MinhashXx(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("format_address", es => FormatAddress(es), "scala_udf")
   }
 }

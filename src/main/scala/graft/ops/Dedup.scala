@@ -31,51 +31,44 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash core over an arbitrary per-slot hash: word-3-shingles,
-    * 8 hash slots, min per slot. The slot hash is the ONLY thing the
-    * demo/oracle and production instances disagree on. */
-  private def minhashCore(
-      docs: DataFrame,
-      slotHash: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
-    val d = docs
-      .withColumn("tokens", split(gf.normalize_text(col("text")), " "))
-      .filter(size(col("tokens")) >= 3)
-      .withColumn("shingle", explode(transform(
-        sequence(lit(1), size(col("tokens")) - 2),
-        i => concat_ws(" ",
-          element_at(col("tokens"), i),
-          element_at(col("tokens"), i + 1),
-          element_at(col("tokens"), i + 2)))))
-      .withColumn("h", explode(sequence(lit(0), lit(7))))
-    d.groupBy(col("doc_id"), col("h"))
-      .agg(min(slotHash(col("shingle"), col("h"))).as("minhash"))
-  }
-
   /** MinHash signatures, oracle instance: hash_h(s) = md5(s || ':' || h)
-    * hex strings, byte-reproducible in DuckDB. */
+    * hex strings, byte-reproducible in DuckDB. The whole signature —
+    * word-3-shingles, 8 slot mins — is ONE fused map-side expression
+    * (gf.minhash_md5 / ExprKernels.minhashMd5) posexploded to the
+    * (doc_id, h, minhash) contract: no shuffle at all, where the
+    * declarative formulation paid an explode(shingles×8)→groupBy
+    * exchange over every shingle row. Sub-3-token docs yield a NULL
+    * signature and fall out of the posexplode (the old filter's drop). */
   def q21Minhash(spark: SparkSession, dir: String): DataFrame =
-    minhashCore(load(spark, dir, "documents"),
-      (s, h) => md5(concat(s, lit(":"), h)))
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(gf.minhash_md5(gf.normalize_text(col("text"))))
+          .as(Seq("h", "minhash")))
 
-  /** MinHash signatures, PRODUCTION instance: xxhash64 under slot-seeded
-    * input — 8-byte Long shuffle/agg keys instead of 32-char hex strings
-    * (4× narrower rows through every exchange, no hex encode). Same
-    * shapes, same caps; DedupSpec proves the LSH pair set over this
+  /** MinHash signatures, PRODUCTION instance: Spark-chained xxhash64 —
+    * 8-byte Long shuffle/agg keys instead of 32-char hex strings (4×
+    * narrower rows through every exchange, no hex encode). Same fused
+    * map-side shape as q21; DedupSpec proves the LSH pair set over this
     * signature matches the md5 demo path on the test corpus. */
   def minhashXx(docs: DataFrame): DataFrame =
-    minhashCore(docs, (s, h) => xxhash64(s, h))
+    docs.select(col("doc_id"),
+      posexplode(gf.minhash_xx(gf.normalize_text(col("text"))))
+        .as(Seq("h", "minhash")))
 
-  /** LSH band-pair core over a signature frame (doc_id, h, minhash of
-    * either width): 4 bands × 2 rows; near-dup candidate pairs = docs
-    * sharing any band signature. */
-  private def lshCore(sig0: DataFrame): DataFrame = {
-    val sig = sig0
-      .withColumn("minhash", col("minhash").cast("string"))
-      .withColumn("band", floor(col("h") / 2))
-    val bands = sig.groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("|", min(col("minhash")), max(col("minhash"))).as("band_sig"))
+  /** LSH band-pair core over per-doc signature ARRAYS (doc_id, sig
+    * array<string>[8]): band signatures (4 bands × 2 slots, order-free
+    * min|max fingerprint) come straight off the array map-side, so the
+    * only exchange in the whole query is the band-bucket groupBy —
+    * the declarative pipeline paid three. */
+  private def lshCore(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)), b => {
+        val lo = element_at(col("sig"), (b * 2 + 1).cast("int"))
+        val hi = element_at(col("sig"), (b * 2 + 2).cast("int"))
+        concat_ws("|", least(lo, hi), greatest(lo, hi))
+      })).as(Seq("band", "band_sig")))
     // block expansion instead of a self-join: the signature subtree (full
-    // shingle + md5×8 pipeline) is computed ONCE, buckets become member
+    // shingle + hash×8 pipeline) is computed ONCE, buckets become member
     // lists, pairs explode map-side. Buckets above MaxBlock are dropped
     // whole (a web-scale near-dup-heavy corpus makes band buckets hot;
     // without the cap a single hot band_sig is a quadratic task).
@@ -90,11 +83,15 @@ object Dedup {
 
   /** LSH band pairs, oracle instance (md5 signatures). */
   def q22LshPairs(spark: SparkSession, dir: String): DataFrame =
-    lshCore(q21Minhash(spark, dir))
+    lshCore(load(spark, dir, "documents").select(col("doc_id"),
+      gf.minhash_md5(gf.normalize_text(col("text"))).as("sig")))
 
-  /** LSH band pairs, PRODUCTION instance (xxhash64 signatures). */
+  /** LSH band pairs, PRODUCTION instance (xxhash64 signatures; the
+    * string cast reproduces the former cast-then-compare band
+    * fingerprint byte-for-byte). */
   def lshPairsXx(docs: DataFrame): DataFrame =
-    lshCore(minhashXx(docs))
+    lshCore(docs.select(col("doc_id"),
+      gf.minhash_xx(gf.normalize_text(col("text"))).cast("array<string>").as("sig")))
 
   /** Exact-Jaccard verification rescore over candidate pairs — the stage
     * every production LSH deployment runs after banding, because banding
@@ -107,16 +104,9 @@ object Dedup {
     * pairs get rescored away. */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val perDoc = docs
-      .withColumn("tokens", split(gf.normalize_text(col("text")), " "))
-      .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("tokens")) - 2),
-        i => concat_ws(" ",
-          element_at(col("tokens"), i),
-          element_at(col("tokens"), i + 1),
-          element_at(col("tokens"), i + 2))))).as("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(col("shingle"))).as("shs"))
+      .select(col("doc_id"),
+        gf.shingle_hashes(gf.normalize_text(col("text"))).as("shs"))
+      .filter(col("shs").isNotNull)
     pairs
       .join(perDoc.select(col("doc_id").as("src"), col("shs").as("shs_a")), Seq("src"))
       .join(perDoc.select(col("doc_id").as("dst"), col("shs").as("shs_b")), Seq("dst"))
@@ -150,21 +140,16 @@ object Dedup {
     * vocabulary), so the shared-key self-join stays near-linear — the
     * scale-safe formulation. */
   def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = load(spark, dir, "documents")
-      .withColumn("tokens", split(gf.normalize_text(col("text")), " "))
-      .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("tokens")) - 2),
-        i => concat_ws(" ",
-          element_at(col("tokens"), i),
-          element_at(col("tokens"), i + 1),
-          element_at(col("tokens"), i + 2))))).as("shingle"))
-    // One pass over documents: per-doc distinct shingle arrays hashed to
-    // 64 bits (same pairs — collision odds ~1e-8 at this cardinality —
-    // fixed-width shuffle keys), then block expansion per shingle hash
-    // instead of a self-join, so the shingle subtree isn't recomputed.
-    val perDoc = d.groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(col("shingle"))).as("shs"))
+    // One fused pass over documents (gf.shingle_hashes): per-doc distinct
+    // shingle sets hashed to 64 bits map-side (same pairs — collision
+    // odds ~1e-8 at this cardinality — fixed-width shuffle keys), then
+    // block expansion per shingle hash instead of a self-join. The former
+    // explode→collect_set exchange is gone; the only shuffles left are
+    // the block groupBy and the pair-count groupBy.
+    val perDoc = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        gf.shingle_hashes(gf.normalize_text(col("text"))).as("shs"))
+      .filter(col("shs").isNotNull)
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     // hot-shingle cap: boilerplate shingles shared by thousands of docs
     // carry no near-dup signal and would explode quadratically — drop
@@ -185,56 +170,29 @@ object Dedup {
       .select(col("src"), col("dst"), col("jaccard"))
   }
 
-  /** Random-hyperplane LSH parameters for q25: 32 sign bits over the
-    * 64-dim embedding space, split into 8 bands × 4 bits. ±1 hyperplane
-    * weights derive from md5 parity so the DuckDB oracle reproduces them
-    * exactly. Recall at the demo threshold 0.35 is ~0.7 per the
-    * sign-agreement formula (1-(1-p^4)^8, p = 1 - acos(c)/π); the
-    * production near-dup regime (cosine ≥ 0.9) sits at ~0.99. */
-  private val LshBits = 32
-  private val LshBandBits = 4
-  private val EmbDim = 64
-
-  /** ±1 weight matrix: w(j)(i) for hyperplane j∈[0,32), dim i∈[1,64] —
-    * parity of the first hex digit of md5("j:i"). */
-  private lazy val hyperplanes: Seq[Seq[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until LshBits).map { j =>
-      (1 to EmbDim).map { i =>
-        val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
-        // first hex char = high nibble of byte 0
-        if (((hex(0) >> 4) & 0xF) % 2 == 1) 1 else -1
-      }
-    }
-  }
-
   /** Embedding-cosine near-dup pairs, de-quadratic'd: random-hyperplane
+    * LSH, 32 sign bits over the 64-dim embedding space in 8 bands × 4
+    * bits; ±1 hyperplane weights derive from md5 parity so the DuckDB
+    * oracle reproduces them exactly. Recall at the demo threshold 0.35 is
+    * ~0.7 per the sign-agreement formula (1-(1-p^4)^8, p = 1-acos(c)/π);
+    * the production near-dup regime (cosine ≥ 0.9) sits at ~0.99.
+    *
+    * Random-hyperplane
     * LSH buckets (sign of v·w per hyperplane, banded) generate candidate
     * pairs inside capped buckets only; the exact fused-codegen CosineSim
     * rescore keeps just pairs ≥ 0.35. No cross join anywhere — the plan
     * is scan → band explode → hash agg → capped map-side pair explode →
-    * scalar rescore. Exact top-k over the full space remains q26; the
-    * IVF path is q27. */
+    * scalar rescore. The 32-bit signature is ONE fused codegen call
+    * (gf.lsh_band_vals / ExprKernels.lshBandVals: quantized ±1 dot
+    * products packed into 8 4-bit band values) — the former 32×64
+    * `aggregate` HOF tree was the dominant scalar cost of this scan.
+    * Exact top-k over the full space remains q26; the IVF path is q27. */
   def q25EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val w = typedLit(hyperplanes)
     val e = load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v")) // primitive float arrays
-    // The sign test runs over integer-quantized coordinates
-    // (floor(x·10⁶) as long): the dot-product sum is then exact and
-    // association-free, so Spark's ordered fold and DuckDB's unordered
-    // SUM can never disagree on the sign of a near-zero dot product.
-    val bits = transform(sequence(lit(0), lit(LshBits - 1)), j =>
-      when(aggregate(sequence(lit(1), lit(EmbDim)), lit(0L),
-        (acc, i) => acc + floor(element_at(col("v"), i).cast("double") * 1e6) *
-          element_at(element_at(w, (j + 1).cast("int")), i.cast("int"))) > 0L, 1).otherwise(0))
     val bands = e
-      .withColumn("bits", bits)
-      .select(col("vec_id"), col("v"), col("bits"),
-        explode(sequence(lit(0), lit(LshBits / LshBandBits - 1))).as("band"))
-      .withColumn("band_val", aggregate(
-        sequence(lit(0), lit(LshBandBits - 1)), lit(0),
-        (acc, k) => acc + element_at(col("bits"),
-          (col("band") * LshBandBits + k + 1).cast("int")) * pow(lit(2.0d), k).cast("int")))
+      .select(col("vec_id"), col("v"),
+        posexplode(gf.lsh_band_vals(col("v"))).as(Seq("band", "band_val")))
     bands.groupBy(col("band"), col("band_val"))
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("ms"))
       .filter(size(col("ms")).between(2, MaxBlock)) // hot-bucket cap, mirrored in oracle
