@@ -99,7 +99,11 @@ object SparkEntry {
     // A8 weighted-distance city pick + J8 lockstep distinguishing-area
     // advance for same-location pairs (guess_context.cc:105-133,
     // get_suggestions.cc:745-763)
-    "q43_area_disambig" -> (AreaPick.q43AreaDisambig _)
+    "q43_area_disambig" -> (AreaPick.q43AreaDisambig _),
+    // §2.10 subset-reuse cache (cache.h:52-108) as a batch identity:
+    // prefix counts (the cached vector) + delta-gram postings only; the
+    // oracle recomputes full-query counts from scratch
+    "q44_subset_cache" -> (SubsetCache.q44SubsetCache _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +115,6 @@ object SparkEntry {
     Relational.oracles ++
       (TextOps.oracles - "q15_metaphone" - "q16_match_score") ++
       Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles ++
-      Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles
+      Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles ++
+      SubsetCache.oracles
 }

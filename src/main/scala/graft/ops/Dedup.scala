@@ -190,18 +190,24 @@ object Dedup {
   def q25EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v")) // primitive float arrays
+    // banding, bucketing, pair explode, and pair dedup all run over BARE
+    // ids — a 64-dim vector never rides the band exchange (8× replicated)
+    // or the pair-distinct exchange. Vectors re-attach by two equi-joins
+    // only for the pairs that survive (the verifyJaccard rescore shape);
+    // at corpus scale that is the difference between shuffling the
+    // embedding table ~9× wide and shuffling narrow longs + 2 joins.
     val bands = e
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         posexplode(gf.lsh_band_vals(col("v"))).as(Seq("band", "band_val")))
     bands.groupBy(col("band"), col("band_val"))
-      .agg(collect_list(struct(col("vec_id"), col("v"))).as("ms"))
+      .agg(collect_list(col("vec_id")).as("ms"))
       .filter(size(col("ms")).between(2, MaxBlock)) // hot-bucket cap, mirrored in oracle
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(explode(col("ms")).as("src"), col("ms"))
+      .select(col("src"), explode(col("ms")).as("dst"))
+      .filter(col("src") < col("dst"))
       .dropDuplicates("src", "dst") // a pair may share several bands
+      .join(e.select(col("vec_id").as("src"), col("v").as("va")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("v").as("vb")), Seq("dst"))
       .withColumn("cosine", round(gf.cosine_sim(col("va"), col("vb")), 5))
       .filter(col("cosine") >= 0.35)
       .select(col("src"), col("dst"), col("cosine"))
