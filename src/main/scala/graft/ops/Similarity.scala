@@ -57,7 +57,19 @@ object Similarity {
   private val IvfK = 16
   private val IvfNProbe = 2
 
-  def q27AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Recall expectation on THIS corpus: the synthetic embeddings carry no
+    * planted high-cosine structure (max pairwise cosine ≈ 0.5; a query's
+    * true top-5 sit at ≈ 0.3, barely above the 1/√64 noise floor), so
+    * top-5 membership is nearly independent of coarse-cell assignment and
+    * recall@5 at nprobe p is information-theoretically ≈ p/k. IVF's
+    * production regime is clustered embedding spaces where neighbors share
+    * cells; what IS checkable here — and what SimilaritySpec pins — is
+    * that the machinery is lossless (nprobe = k reproduces the exact
+    * baseline bit-for-bit) and that recall rises with nprobe. */
+  def q27AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, IvfNProbe)
+
+  def annIvf(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = withNorm(load(spark, dir, "embeddings"))
     // integer-quantized coordinates: exact, order-independent sums
     val quant = e
@@ -83,7 +95,7 @@ object Similarity {
     val assign0 = nearest(cent0, 1).select(col("vec_id"), col("cell").as("cell0"))
     val cent1 = centroids(quant.join(assign0, Seq("vec_id")), "cell0")
     val asg = nearest(cent1, 1).select(col("vec_id"), col("cell"))
-    val probes = nearest(cent1, IvfNProbe)
+    val probes = nearest(cent1, nprobe)
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("cell"))
     val members = e.join(asg, Seq("vec_id"))
