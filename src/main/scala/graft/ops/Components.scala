@@ -93,6 +93,39 @@ object Components {
     }
   }
 
+  /** Incremental cluster maintenance: merge a batch of NEW edges into an
+    * existing labeling without re-clustering the full edge history.
+    *
+    * Under min-label propagation a component's label is its minimum
+    * member id, so a prior labeling is a lossless contraction of the
+    * prior edge set: the star {(id, label) | label ≠ id} reproduces
+    * exactly the prior components, with depth 1. Clustering
+    * (prior star ∪ new edges) therefore yields labels BIT-IDENTICAL to
+    * re-clustering (all prior edges ∪ new edges) — but the loop input is
+    * one row per previously-clustered vertex instead of the whole edge
+    * history, and it converges in ~1 doubling round unless the new edges
+    * chain many old components together (ComponentsSpec proves the
+    * bit-equality both ways).
+    *
+    * This is the micro-batch companion of [[StreamOps.incrementalBlocking]]:
+    * ingest streams pairs continuously, and each maintenance window folds
+    * the new accepted edges into the persisted labels — the labels table
+    * IS the checkpoint, same as er.Pipeline.cluster's resume contract.
+    *
+    * prior: (id, label) — a fixpoint of min-label propagation (labels
+    * from [[connectedComponents]] / er.Pipeline.forestLabels qualify);
+    * newEdges: (src, dst). Output: (id, label) covering prior ids ∪ new
+    * edge endpoints. */
+  def incrementalComponents(prior: DataFrame, newEdges: DataFrame): DataFrame = {
+    val star = prior.filter(col("label") =!= col("id"))
+      .select(col("id").as("src"), col("label").as("dst"))
+    val vertices = prior.select(col("id"))
+      .unionByName(newEdges.select(col("src").as("id")))
+      .unionByName(newEdges.select(col("dst").as("id")))
+      .distinct()
+    connectedComponents(vertices, star.unionByName(newEdges.select(col("src"), col("dst"))))
+  }
+
   /** Entity clusters over distinct part names: intern (D2 street-interning
     * analogue) → trigram blocking (A2/A3 filters) → JW ≥ 0.9 edges →
     * connected components; label = min reachable name_id. */

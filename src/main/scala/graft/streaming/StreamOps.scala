@@ -117,6 +117,91 @@ object StreamOps {
       }
   }
 
+  final case class BlockPair(src: Long, dst: Long)
+
+  /** Per-key blocking state: members seen so far (bounded), or saturated
+    * (the key went hot and emits nothing further). */
+  final case class BlockState(members: Vector[Long], saturated: Boolean)
+
+  /** Streaming incremental candidate generation — the ingest-side analogue
+    * of the batch `er.Pipeline.candidatePairs` (trigram + Double-Metaphone
+    * blocking): each interned string's blocking keys (24-bit trigram keys
+    * over the match key, reference ngram.h:46-54, plus per-token phonetic
+    * codes of length ≥ 3) route to per-key GroupState holding the block's
+    * members; a new member emits one pair against every prior member (and
+    * the within-batch pairs), so after any prefix of the stream the
+    * emitted pair set is exactly the batch pair set (same keys, no
+    * prefix filter — see below) of the strings seen so far — no
+    * recomputation, no rescan of old pages.
+    *
+    * Hot-key story (the streaming face of the batch maxBlockSize cap):
+    * once a key's block reaches `maxBlock` members the state flips to
+    * SATURATED — the member list is dropped (state goes O(1)) and the key
+    * emits nothing further, forever. The batch path drops hot blocks
+    * WHOLE; a stream cannot retract, so the ≤ maxBlock·(maxBlock−1)/2
+    * pairs emitted before saturation stand. Both policies bound work per
+    * key by maxBlock²; specs compare against batch on corpora below the
+    * cap, where the two are provably identical (StreamingSpec).
+    *
+    * Pairs may repeat across micro-batches when two strings share several
+    * blocking keys (the batch path's global dropDuplicates has no
+    * bounded-state streaming equivalent without a watermark on a
+    * timestamp the pair doesn't carry); downstream scoring is idempotent
+    * and the sink dedups by (src, dst) — the same sink-side contract as
+    * [[internIdCollisions]]. State shards by blocking key, so hot-key
+    * pressure spreads across the state store exactly like the batch
+    * path's salted shuffle.
+    *
+    * The batch path additionally prefix-filters trigram keys to the K
+    * globally-rarest per string — a whole-corpus frequency ranking a
+    * stream cannot compute online. Streaming therefore blocks on ALL
+    * keys: recall is a superset of batch recall, and the extra pair
+    * volume stays bounded because every key still saturates at maxBlock
+    * (the prefix filter is a batch THROUGHPUT optimization; the cap is
+    * the scale safety, and it is preserved).
+    *
+    * Input columns: string_id (long), match_key (string) — one row per
+    * NEW string (the `is_new_string` output of [[incrementalIntern]]),
+    * so re-mentions of known strings cost nothing here. */
+  def incrementalBlocking(spark: SparkSession, strings: DataFrame,
+      maxBlock: Int = 256): Dataset[BlockPair] = {
+    import spark.implicits._
+    import graft.{functions => gf}
+    val keyed = strings.select(
+      explode(array_union(
+        transform(gf.trigram_keys(col("match_key")),
+          k => concat(lit("t:"), k.cast("string"))),
+        filter(
+          transform(array_distinct(transform(split(col("match_key"), " "),
+            t => gf.double_metaphone(t))),
+            p => concat(lit("p:"), p)),
+          p => length(p) >= 5))).as("bkey"), // "p:" + code of length >= 3
+      col("string_id").cast("long").as("string_id"))
+    keyed.as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BlockState, BlockPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[BlockState]) =>
+          val st = state.getOption.getOrElse(BlockState(Vector.empty, saturated = false))
+          if (st.saturated) Iterator.empty
+          else {
+            // deterministic order: pairs and the saturation cut must not
+            // depend on iterator order within the micro-batch
+            val fresh = rows.map(_._2).toVector.distinct.sorted
+              .filterNot(st.members.contains)
+            val admitted = fresh.take(math.max(0, maxBlock - st.members.size))
+            val nowSat = st.members.size + fresh.size > maxBlock
+            state.update(
+              if (nowSat) BlockState(Vector.empty, saturated = true)
+              else BlockState(st.members ++ admitted, saturated = false))
+            for {
+              (n, i) <- admitted.iterator.zipWithIndex
+              o <- st.members.iterator ++ admitted.iterator.take(i)
+            } yield if (o < n) BlockPair(o, n) else BlockPair(n, o)
+          }
+      }
+  }
+
   /** Run a streaming DataFrame from a parquet-backed file stream to a
     * memory sink synchronously; returns the sink table name. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

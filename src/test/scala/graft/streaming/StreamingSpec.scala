@@ -89,6 +89,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
   }
 
+  /** The batch pair set over the SAME blocking keys the stream uses (all
+    * trigram keys + per-token phonetic codes, no prefix filter) —
+    * incrementalBlocking's contract is exact equality with this below the
+    * hot-key cap. */
+  private def batchPairsAllKeys(strings: org.apache.spark.sql.DataFrame) = {
+    import graft.{functions => gf}
+    val keyed = strings.select(
+      col("string_id").cast("long").as("string_id"),
+      explode(array_union(
+        transform(gf.trigram_keys(col("match_key")),
+          k => concat(lit("t:"), k.cast("string"))),
+        filter(
+          transform(array_distinct(transform(split(col("match_key"), " "),
+            t => gf.double_metaphone(t))),
+            p => concat(lit("p:"), p)),
+          p => length(p) >= 5))).as("bkey"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.string_id") < col("b.string_id"))
+      .select(col("a.string_id").as("src"), col("b.string_id").as("dst"))
+      .distinct()
+  }
+
+  test("streaming incremental blocking equals batch pair set below the cap") {
+    val pages = graft.er.Corpus.pages(spark, 300, 60, 42L).toDF()
+    val mentions = graft.er.Pipeline.extractMentions(pages)
+    val (strings, _) = graft.er.Pipeline.internStrings(mentions)
+    val stringsDf = strings.select($"string_id", $"match_key")
+
+    val d = new java.io.File("/tmp/graft_stream_blocking")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    // several files → several micro-batches: pairs must accrue across
+    // batches (new arrivals against state, not just within-batch joins)
+    stringsDf.repartition(4).write.parquet(d.getPath)
+    val schema = spark.read.parquet(d.getPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.getPath)
+    StreamOps.runToMemory(spark,
+      StreamOps.incrementalBlocking(spark, stream, maxBlock = 10000).toDF(),
+      "blk_out", OutputMode.Append())
+    val streamed = spark.table("blk_out").select($"src", $"dst").distinct()
+    val batch = batchPairsAllKeys(stringsDf)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(streamed.count() > 0)
+  }
+
+  test("streaming blocking saturates hot keys at maxBlock and stops emitting") {
+    // 12 strings with the same match key, one micro-batch, cap 4:
+    // deterministic admission = the 4 smallest ids; C(4,2)=6 pairs per
+    // blocking key of that string, then the key is dead
+    val hot = (0L until 12L).map(i => (i, "zzz common hot"))
+    val d = new java.io.File("/tmp/graft_stream_hotkey")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    hot.toDF("string_id", "match_key").coalesce(1).write.parquet(d.getPath)
+    val schema = spark.read.parquet(d.getPath).schema
+    val stream = spark.readStream.schema(schema).parquet(d.getPath)
+    StreamOps.runToMemory(spark,
+      StreamOps.incrementalBlocking(spark, stream, maxBlock = 4).toDF(),
+      "hot_out", OutputMode.Append())
+    val got = spark.table("hot_out").select($"src", $"dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for { a <- 0L until 4L; b <- (a + 1) until 4L } yield (a, b)).toSet
+    assert(got == expect, s"got $got")
+  }
+
   test("stateful mapGroupsWithState user counts equal batch groupBy") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
