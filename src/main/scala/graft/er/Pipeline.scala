@@ -322,7 +322,20 @@ object Pipeline {
       .join(keys.withColumnRenamed("string_id", "src").withColumnRenamed("match_key", "src_key"), Seq("src"))
     val withB = withA
       .join(keys.withColumnRenamed("string_id", "dst").withColumnRenamed("match_key", "dst_key"), Seq("dst"))
-    withB
+    scoreKeyed(withB, cfg)
+      .select($"src", $"dst", $"jw", $"lev", $"sift", $"min_len", $"tok_ok", $"accepted")
+  }
+
+  /** The scalar scoring gate alone, over a frame that already carries
+    * `src_key`/`dst_key` (stateless, all codegen — no joins, no shuffle):
+    * the shared kernel of batch [[scorePairs]] and the streaming
+    * scored-edge path (graft.streaming.StreamOps.incrementalScoredPairs),
+    * so the two CANNOT diverge. Appends jw/lev/sift/min_len/tok_ok/
+    * accepted to the input columns. */
+  def scoreKeyed(withKeys: DataFrame, cfg: Config): DataFrame = {
+    val spark = withKeys.sparkSession
+    import spark.implicits._
+    withKeys
       .withColumn("jw", gf.jaro_winkler($"src_key", $"dst_key"))
       // gate distances are CODEPOINT-level (sift4_cp + Spark's built-in
       // levenshtein): one user typo = one edit on any script. Byte-level
@@ -361,7 +374,6 @@ object Pipeline {
         $"sift" <= cfg.siftMaxEdits &&
           ($"lev" >= 0 && $"lev" <= $"lev_max") &&
           $"tok_ok")
-      .select($"src", $"dst", $"jw", $"lev", $"sift", $"min_len", $"tok_ok", $"accepted")
   }
 
   /** Scored pairs → accepted match edges via the frequency-prior HUB rule

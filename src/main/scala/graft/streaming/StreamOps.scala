@@ -119,9 +119,15 @@ object StreamOps {
 
   final case class BlockPair(src: Long, dst: Long)
 
-  /** Per-key blocking state: members seen so far (bounded), or saturated
-    * (the key went hot and emits nothing further). */
-  final case class BlockState(members: Vector[Long], saturated: Boolean)
+  /** A candidate pair carrying both members' canonical match keys, so
+    * scoring can run statelessly on the pair stream itself. */
+  final case class KeyedBlockPair(src: Long, dst: Long,
+      src_key: String, dst_key: String)
+
+  /** Per-key blocking state: members seen so far as (string_id,
+    * match_key) — bounded — or saturated (the key went hot and emits
+    * nothing further). */
+  final case class BlockState(members: Vector[(Long, String)], saturated: Boolean)
 
   /** Streaming incremental candidate generation — the ingest-side analogue
     * of the batch `er.Pipeline.candidatePairs` (trigram + Double-Metaphone
@@ -166,6 +172,17 @@ object StreamOps {
   def incrementalBlocking(spark: SparkSession, strings: DataFrame,
       maxBlock: Int = 256): Dataset[BlockPair] = {
     import spark.implicits._
+    incrementalKeyedBlocking(spark, strings, maxBlock)
+      .map(p => BlockPair(p.src, p.dst))
+  }
+
+  /** [[incrementalBlocking]] with the members' match keys riding on each
+    * emitted pair — the state stores (id, key) so downstream scoring
+    * needs NO join against a strings table (which, mid-stream, would be
+    * a stale snapshot). State cost per key stays bounded by maxBlock. */
+  def incrementalKeyedBlocking(spark: SparkSession, strings: DataFrame,
+      maxBlock: Int = 256): Dataset[KeyedBlockPair] = {
+    import spark.implicits._
     import graft.{functions => gf}
     val keyed = strings.select(
       explode(array_union(
@@ -176,19 +193,23 @@ object StreamOps {
             t => gf.double_metaphone(t))),
             p => concat(lit("p:"), p)),
           p => length(p) >= 5))).as("bkey"), // "p:" + code of length >= 3
-      col("string_id").cast("long").as("string_id"))
-    keyed.as[(String, Long)]
+      col("string_id").cast("long").as("string_id"),
+      col("match_key").cast("string").as("match_key"))
+    keyed.as[(String, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[BlockState, BlockPair](
+      .flatMapGroupsWithState[BlockState, KeyedBlockPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(String, Long)], state: GroupState[BlockState]) =>
+        (_: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[BlockState]) =>
           val st = state.getOption.getOrElse(BlockState(Vector.empty, saturated = false))
           if (st.saturated) Iterator.empty
           else {
             // deterministic order: pairs and the saturation cut must not
             // depend on iterator order within the micro-batch
-            val fresh = rows.map(_._2).toVector.distinct.sorted
-              .filterNot(st.members.contains)
+            val seen = st.members.iterator.map(_._1).toSet
+            val fresh = rows.map(r => (r._2, r._3)).toVector
+              .distinctBy(_._1).sortBy(_._1)
+              .filterNot(m => seen(m._1))
             val admitted = fresh.take(math.max(0, maxBlock - st.members.size))
             val nowSat = st.members.size + fresh.size > maxBlock
             state.update(
@@ -197,10 +218,28 @@ object StreamOps {
             for {
               (n, i) <- admitted.iterator.zipWithIndex
               o <- st.members.iterator ++ admitted.iterator.take(i)
-            } yield if (o < n) BlockPair(o, n) else BlockPair(n, o)
+            } yield
+              if (o._1 < n._1) KeyedBlockPair(o._1, n._1, o._2, n._2)
+              else KeyedBlockPair(n._1, o._1, n._2, o._2)
           }
       }
   }
+
+  /** Streaming scored candidate pairs: keyed blocking + the SAME scalar
+    * accept gate batch scoring uses (er.Pipeline.scoreKeyed — one shared
+    * kernel, so streamed and batch verdicts cannot diverge). Stateless
+    * past the blocking state: the gate is pure codegen'd column math on
+    * (src_key, dst_key), no join, no extra shuffle. Output: (src, dst,
+    * jw, lev, sift, accepted) per emitted pair; the global hub rule
+    * (matchEdges) stays a maintenance-window concern — it is a top-1 over
+    * all of a satellite's pairs, which a stream has not all seen yet. */
+  def incrementalScoredPairs(spark: SparkSession, strings: DataFrame,
+      cfg: graft.er.Pipeline.Config,
+      maxBlock: Int = 256): DataFrame =
+    graft.er.Pipeline.scoreKeyed(
+        incrementalKeyedBlocking(spark, strings, maxBlock).toDF(), cfg)
+      .select(col("src"), col("dst"), col("jw"), col("lev"), col("sift"),
+        col("accepted"))
 
   /** Run a streaming DataFrame from a parquet-backed file stream to a
     * memory sink synchronously; returns the sink table name. */

@@ -135,6 +135,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("streaming scored pairs carry the exact batch accept verdicts") {
+    val pages = graft.er.Corpus.pages(spark, 300, 60, 42L).toDF()
+    val mentions = graft.er.Pipeline.extractMentions(pages)
+    val (strings, _) = graft.er.Pipeline.internStrings(mentions)
+    val stringsDf = strings.select($"string_id", $"match_key")
+    val cfg = graft.er.Pipeline.Config()
+
+    val d = new java.io.File("/tmp/graft_stream_scoring")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    stringsDf.repartition(3).write.parquet(d.getPath)
+    val schema = spark.read.parquet(d.getPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.getPath)
+    StreamOps.runToMemory(spark,
+      StreamOps.incrementalScoredPairs(spark, stream, cfg, maxBlock = 10000),
+      "score_out", OutputMode.Append())
+    val streamed = spark.table("score_out")
+      .select($"src", $"dst", $"jw", $"lev", $"sift", $"accepted").distinct()
+      .localCheckpoint(true) // fresh lineage: batch below re-derives from it
+
+    // batch-score the SAME pair set: scores and verdicts must be
+    // bit-identical (shared scoreKeyed kernel, same match keys)
+    val batch = graft.er.Pipeline.scorePairs(
+        streamed.select($"src", $"dst").distinct(), stringsDf, cfg)
+      .select($"src", $"dst", $"jw", $"lev", $"sift", $"accepted")
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(streamed.filter($"accepted").count() > 0)
+  }
+
   test("streaming blocking saturates hot keys at maxBlock and stops emitting") {
     // 12 strings with the same match key, one micro-batch, cap 4:
     // deterministic admission = the 4 smallest ids; C(4,2)=6 pairs per
