@@ -74,6 +74,10 @@ object SparkEntry {
     "q32_media_meta" -> (TextOps.q32MediaMeta _),
     // transitive clustering operator
     "q33_components" -> (Components.q33Components _),
+    // incremental cluster maintenance over the same graph: history edges
+    // clustered first, the maintenance window's new edges folded in via
+    // incrementalComponents; oracle recomputes components from scratch
+    "q45_incremental_components" -> (Components.q45IncrementalComponents _),
     // spatial cell join + area-set operators
     "q34_spatial_cell_join" -> (Extras.q34SpatialCellJoin _),
     "q35_areaset_ops" -> (Extras.q35AreasetOps _),

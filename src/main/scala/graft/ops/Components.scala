@@ -130,6 +130,14 @@ object Components {
     * analogue) → trigram blocking (A2/A3 filters) → JW ≥ 0.9 edges →
     * connected components; label = min reachable name_id. */
   def q33Components(spark: SparkSession, dir: String): DataFrame = {
+    val (interned, edges) = nameGraph(spark, dir)
+    connectedComponents(interned.select(col("name_id").as("id")), edges)
+      .select(col("id").as("name_id"), col("label"))
+  }
+
+  /** The q33 match graph as data: interned part names + JW-accepted
+    * blocking edges (shared by q33 and the incremental variant q45). */
+  private[ops] def nameGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val interned = load(spark, dir, "part")
       .select(gf.normalize_text(col("p_name")).as("name"), col("p_partkey"))
       .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id"))
@@ -165,12 +173,28 @@ object Components {
       // the undirected expansion inside connectedComponents references the
       // edge frame twice — persist so blocking+JW runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    connectedComponents(interned.select(col("name_id").as("id")), edges)
+    (interned, edges)
+  }
+
+  /** Incremental maintenance, driver-checked (q45): the SAME match graph
+    * as q33 arrives in two ingest windows — edges with even src+dst are
+    * the "already clustered" history, odd ones are the maintenance
+    * window's new batch. Spark clusters the history, then folds the new
+    * batch in with [[incrementalComponents]]; the DuckDB oracle computes
+    * components over ALL edges from scratch and never sees the split —
+    * a hash match certifies incremental == full re-clustering on real
+    * blocking/JW edges (ComponentsSpec proves it on synthetic graphs). */
+  def q45IncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    val (interned, edges) = nameGraph(spark, dir)
+    val oldEdges = edges.filter(pmod(col("src") + col("dst"), lit(2)) === 0)
+    val newEdges = edges.filter(pmod(col("src") + col("dst"), lit(2)) === 1)
+    val prior = connectedComponents(
+      interned.select(col("name_id").as("id")), oldEdges)
+    incrementalComponents(prior, newEdges)
       .select(col("id").as("name_id"), col("label"))
   }
 
-  val oracles: Map[String, String] = Map(
-    "q33_components" ->
+  private val componentsSql: String =
       """WITH RECURSIVE interned AS (
         |  SELECT lower(p_name) AS name, CAST(min(p_partkey) AS BIGINT) AS name_id
         |  FROM part GROUP BY 1),
@@ -203,5 +227,13 @@ object Components {
         |  SELECT u.b, r.lab FROM reach r JOIN undirected u ON u.a = r.id)
         |SELECT id AS name_id, CAST(min(lab) AS BIGINT) AS label
         |FROM reach GROUP BY 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q33_components" -> componentsSql,
+    // q45's oracle is q33's verbatim: the oracle computes components over
+    // the FULL edge set from scratch; only the Spark side splits the
+    // edges into history + maintenance window. Identical output = the
+    // incremental fold is exact.
+    "q45_incremental_components" -> componentsSql
   )
 }
