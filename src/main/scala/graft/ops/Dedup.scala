@@ -60,13 +60,20 @@ object Dedup {
     * min|max fingerprint) come straight off the array map-side, so the
     * only exchange in the whole query is the band-bucket groupBy —
     * the declarative pipeline paid three. */
-  private def lshCore(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
+  /** Band fingerprints off a per-doc signature array — (doc_id, band,
+    * band_sig), map-side only. Shared by the batch LSH block expansion
+    * below and the streaming near-dup path (StreamOps
+    * .incrementalNearDupPairs), so the banding CANNOT diverge. */
+  private[graft] def bandExplode(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(3)), b => {
         val lo = element_at(col("sig"), (b * 2 + 1).cast("int"))
         val hi = element_at(col("sig"), (b * 2 + 2).cast("int"))
         concat_ws("|", least(lo, hi), greatest(lo, hi))
       })).as(Seq("band", "band_sig")))
+
+  private def lshCore(sigs: DataFrame): DataFrame = {
+    val bands = bandExplode(sigs)
     // block expansion instead of a self-join: the signature subtree (full
     // shingle + hash×8 pipeline) is computed ONCE, buckets become member
     // lists, pairs explode map-side. Buckets above MaxBlock are dropped
@@ -89,9 +96,13 @@ object Dedup {
   /** LSH band pairs, PRODUCTION instance (xxhash64 signatures; the
     * string cast reproduces the former cast-then-compare band
     * fingerprint byte-for-byte). */
-  def lshPairsXx(docs: DataFrame): DataFrame =
-    lshCore(docs.select(col("doc_id"),
-      gf.minhash_xx(gf.normalize_text(col("text"))).cast("array<string>").as("sig")))
+  def lshPairsXx(docs: DataFrame): DataFrame = lshCore(xxSigs(docs))
+
+  /** Per-doc production signature frame (doc_id, sig array<string>[8]) —
+    * the input both batch [[lshPairsXx]] and streaming near-dup band. */
+  private[graft] def xxSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      gf.minhash_xx(gf.normalize_text(col("text"))).cast("array<string>").as("sig"))
 
   /** Exact-Jaccard verification rescore over candidate pairs — the stage
     * every production LSH deployment runs after banding, because banding

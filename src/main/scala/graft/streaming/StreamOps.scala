@@ -241,6 +241,63 @@ object StreamOps {
       .select(col("src"), col("dst"), col("jw"), col("lev"), col("sift"),
         col("accepted"))
 
+  /** Per-bucket state for id-only pair emission (streaming LSH near-dup):
+    * member ids seen so far, or saturated. */
+  final case class IdBlockState(members: Vector[Long], saturated: Boolean)
+
+  /** Stateful pair emission over (bucket_key, id) rows — the shared
+    * engine shape of [[incrementalKeyedBlocking]], id-only: each bucket's
+    * GroupState accumulates members up to `maxBlock` (then saturates and
+    * emits nothing further), and every admitted member pairs against all
+    * prior members plus earlier same-batch admits. Deterministic within
+    * a micro-batch (ids sorted before admission). */
+  private def statefulPairs(keyed: Dataset[(String, Long)],
+      maxBlock: Int): Dataset[BlockPair] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[IdBlockState, BlockPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)],
+            state: GroupState[IdBlockState]) =>
+          val st = state.getOption.getOrElse(IdBlockState(Vector.empty, saturated = false))
+          if (st.saturated) Iterator.empty
+          else {
+            val seen = st.members.toSet
+            val fresh = rows.map(_._2).toVector.distinct.sorted
+              .filterNot(seen)
+            val admitted = fresh.take(math.max(0, maxBlock - st.members.size))
+            val nowSat = st.members.size + fresh.size > maxBlock
+            state.update(
+              if (nowSat) IdBlockState(Vector.empty, saturated = true)
+              else IdBlockState(st.members ++ admitted, saturated = false))
+            for {
+              (n, i) <- admitted.iterator.zipWithIndex
+              o <- st.members.iterator ++ admitted.iterator.take(i)
+            } yield if (o < n) BlockPair(o, n) else BlockPair(n, o)
+          }
+      }
+  }
+
+  /** Streaming MinHash-LSH near-duplicate candidates — the ingest-side
+    * analogue of the batch q22/lshPairsXx: each arriving document's 4
+    * band fingerprints (the SAME fused minhash_xx signature + banding
+    * kernel batch uses — ops.Dedup.xxSigs/bandExplode) route to per-
+    * bucket GroupState; a new document pairs against every prior bucket
+    * member. Hot buckets saturate at `maxBlock` exactly like blocking
+    * keys in [[incrementalBlocking]] (batch drops hot buckets whole; the
+    * stream's pre-saturation pairs stand — both bound work per bucket by
+    * maxBlock²). Downstream: the exact-Jaccard rescore
+    * (ops.Dedup.verifyJaccard) is stateless per pair and applies to this
+    * stream as-is in a maintenance window or foreachBatch. */
+  def incrementalNearDupPairs(spark: SparkSession, docs: DataFrame,
+      maxBlock: Int = 256): Dataset[BlockPair] = {
+    import spark.implicits._
+    val keyed = graft.ops.Dedup.bandExplode(graft.ops.Dedup.xxSigs(docs))
+      .select(concat_ws("#", col("band").cast("string"), col("band_sig")).as("bkey"),
+        col("doc_id").cast("long").as("doc_id"))
+    statefulPairs(keyed.as[(String, Long)], maxBlock)
+  }
+
   /** Run a streaming DataFrame from a parquet-backed file stream to a
     * memory sink synchronously; returns the sink table name. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

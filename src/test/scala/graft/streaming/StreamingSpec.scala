@@ -184,6 +184,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect, s"got $got")
   }
 
+  test("streaming LSH near-dup pairs equal the batch band pair set") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val d = new java.io.File("/tmp/graft_stream_neardup")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    docs.repartition(3).write.parquet(d.getPath)
+    val schema = spark.read.parquet(d.getPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.getPath)
+    StreamOps.runToMemory(spark,
+      StreamOps.incrementalNearDupPairs(spark, stream, maxBlock = 10000).toDF(),
+      "nd_out", OutputMode.Append())
+    val streamed = spark.table("nd_out").select($"src", $"dst").distinct()
+    // batch path over the same corpus (band buckets are far below 256
+    // here, so cap semantics cannot diverge)
+    val batch = graft.ops.Dedup.lshPairsXx(docs)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(streamed.count() > 0)
+  }
+
   test("stateful mapGroupsWithState user counts equal batch groupBy") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
