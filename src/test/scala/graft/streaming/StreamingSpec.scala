@@ -193,13 +193,20 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(d.getPath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(d.getPath)
+    // the exact-Jaccard rescore runs INSIDE the streaming query as a
+    // stream-static join (stateless per pair) — the full streaming
+    // near-dup path, not just banding
     StreamOps.runToMemory(spark,
-      StreamOps.incrementalNearDupPairs(spark, stream, maxBlock = 10000).toDF(),
+      graft.ops.Dedup.verifyJaccard(docs,
+        StreamOps.incrementalNearDupPairs(spark, stream, maxBlock = 10000).toDF(),
+        0.4),
       "nd_out", OutputMode.Append())
-    val streamed = spark.table("nd_out").select($"src", $"dst").distinct()
+    val streamed = spark.table("nd_out")
+      .select($"src", $"dst", $"jaccard").distinct()
     // batch path over the same corpus (band buckets are far below 256
     // here, so cap semantics cannot diverge)
-    val batch = graft.ops.Dedup.lshPairsXx(docs)
+    val batch = graft.ops.Dedup.verifyJaccard(
+      docs, graft.ops.Dedup.lshPairsXx(docs), 0.4)
     assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty,
       s"streamed=${streamed.count()} batch=${batch.count()}")
     assert(streamed.count() > 0)
