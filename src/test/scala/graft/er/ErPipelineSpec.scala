@@ -195,4 +195,27 @@ class ErPipelineSpec extends AnyFunSuite {
     assert(stats.totalKeys > 0)
     assert(stats.keptKeys + stats.hotKeysDropped == stats.totalKeys)
   }
+
+  test("a pathological hot block is capped, logged, and does not hurt recall") {
+    // 400 DISTINCT strings whose every repeated trigram (and every
+    // Double-Metaphone token code) is shared by all 400 — the worst-case
+    // Zipf head. Uncapped blocking would emit 400·399/2 = 79 800 pairs
+    // from this one block; the cap (maxBlockSize = 256) must drop it
+    // whole and say so in the stats, while an ordinary 1-edit pair
+    // elsewhere in the corpus still blocks together.
+    val uniq = for (a <- 'a' to 't'; b <- 'a' to 't') yield s"$a$b"
+    val hot = uniq.take(400).zipWithIndex.map { case (u, i) =>
+      (1000L + i, s"${u(0)} ${u(1)} commonhotkey")
+    }
+    val needle = Seq((1L, "berlin hauptstrasse"), (2L, "berlin hauptstrase"))
+    val strings = (hot ++ needle).toDF("string_id", "match_key")
+    val cfg = Pipeline.Config(workDir = freshDir("skew"))
+    val (pairs, stats) = Pipeline.candidatePairs(strings, cfg)
+    assert(stats.hotKeysDropped > 0, "the hot block must be dropped, not silently kept")
+    assert(stats.hotVolumeDropped >= 400, "dropped volume must count the hot block's members")
+    assert(stats.candidatePairs < 2000,
+      s"capped blocking must stay far below the 79 800-pair quadratic blow-up, got ${stats.candidatePairs}")
+    assert(pairs.filter(col("src") === 1L && col("dst") === 2L).count() == 1,
+      "the near-duplicate pair outside the hot block must still be generated")
+  }
 }
