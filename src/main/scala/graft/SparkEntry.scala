@@ -72,6 +72,11 @@ object SparkEntry {
     "q30_token_stats" -> (TextOps.q30TokenStats _),
     "q31_fingerprint" -> (TextOps.q31Fingerprint _),
     "q32_media_meta" -> (TextOps.q32MediaMeta _),
+    // html:binary ingestion — visible-text extraction from page bytes
+    // (tag strip, script/style/comment skip, entity decode, whitespace
+    // collapse) with the oracle deriving expected text from the source
+    // columns independently
+    "q46_html_extract" -> (TextOps.q46HtmlExtract _),
     // transitive clustering operator
     "q33_components" -> (Components.q33Components _),
     // incremental cluster maintenance over the same graph: history edges

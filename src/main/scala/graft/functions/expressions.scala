@@ -923,6 +923,40 @@ case class LshBandVals(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lsh_band_vals"
 }
 
+/** HTML → visible text ([[graft.text.Html]]): one-pass tag strip with
+  * script/style/comment skipping, character-reference decode, and
+  * whitespace collapse — the ingestion step for the input_hint's
+  * `html: binary` page column (the per-url `text` the rest of the
+  * pipeline consumes is exactly this extraction). binary|string →
+  * string, codegen-friendly like every other text kernel. */
+case class HtmlText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  private def isBinary: Boolean = child.dataType == BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType | _: StringType | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"html_text requires binary or string input, got ${other.simpleString}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      if (isBinary) graft.text.Html.extractTextBytes(input.asInstanceOf[Array[Byte]])
+      else graft.text.Html.extractText(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (isBinary)
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.text.Html.extractTextBytes($c))"
+      else
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.text.Html.extractText($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): HtmlText =
+    copy(child = newChild)
+  override def prettyName: String = "html_text"
+}
+
 /** Per-country address formatting (reference formatter.cc:87-159, X14).
   * children = (house_number, road, postcode, city, country, country_code),
   * all strings. NULL inputs are treated as empty components.

@@ -91,6 +91,10 @@ package object functions {
       city: Column, country: Column, countryCode: Column): Column =
     col(FormatAddress(Seq(houseNumber, road, postcode, city, country, countryCode).map(ex)))
 
+  /** HTML (binary or string) → visible text: tag strip, script/style/
+    * comment skip, entity decode, whitespace collapse (graft.text.Html). */
+  def html_text(c: Column): Column = col(HtmlText(ex(c)))
+
   /** Register all kernels under SQL names (idempotent, session-scoped). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -111,6 +115,7 @@ package object functions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_band_vals", es => LshBandVals(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("html_text", es => HtmlText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_md5", es => MinhashMd5(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_xx", es => MinhashXx(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "scala_udf")

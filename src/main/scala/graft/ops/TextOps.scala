@@ -326,7 +326,55 @@ object TextOps {
         .as("height"))
   }
 
+  /** HTML ingestion for the input_hint's `html: binary` page column: each
+    * document is wrapped in a full synthetic page — head title, a
+    * `<script>` whose BODY contains `<`, `&&`, quotes and a fake close
+    * tag, a `<style>` block, a comment, NBSP + numeric + named character
+    * references, inline-vs-block tags, and a bare `<` in prose — encoded
+    * to UTF-8 bytes, and the visible text is then recovered from the
+    * BYTES alone by the codegen [[graft.functions.HtmlText]] kernel. The
+    * oracle derives the expected text independently from the SOURCE
+    * columns (it never parses the html), so any tag-skip / entity /
+    * whitespace bug in the extractor diverges and fails the gate. */
+  def q46HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+    val did = col("doc_id").cast("string")
+    val htmlStr = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><script type=\"text/javascript\">" +
+        "if (1 < 2 && q) { s = \"</div>\"; }</script>" +
+        "<style>p { color: #fff; }</style></head><body><!-- crawl "), did,
+      lit(" --><h1>Doc&nbsp;&#35;"), did,
+      lit("</h1><p>"), regexp_replace(col("text"), "a", "&#97;"),
+      lit("</p><div>lang: <b>"), col("lang"),
+      lit("</b>, 1 < 2 &amp; 3 &gt; 2</div></body></html>"))
+    d.select(col("doc_id"), encode(htmlStr, "UTF-8").as("html"))
+      .select(col("doc_id"),
+        gf.html_text(col("html")).as("extracted"),
+        length(col("html")).as("html_bytes"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // expected text reconstructed from the source columns; html rebuilt
+    // only to measure its byte length — the oracle never parses it
+    "q46_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, text, lang,
+        |    '<html><head><title>' || source ||
+        |    '</title><script type="text/javascript">if (1 < 2 && q) { s = "</div>"; }</script>' ||
+        |    '<style>p { color: #fff; }</style></head><body><!-- crawl ' ||
+        |    CAST(doc_id AS VARCHAR) || ' --><h1>Doc&nbsp;&#35;' ||
+        |    CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+        |    regexp_replace(text, 'a', '&#97;', 'g') ||
+        |    '</p><div>lang: <b>' || lang ||
+        |    '</b>, 1 < 2 &amp; 3 &gt; 2</div></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  source || ' Doc #' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |    ' lang: ' || lang || ', 1 < 2 & 3 > 2' AS extracted,
+        |  CAST(octet_length(encode(html)) AS INT) AS html_bytes
+        |FROM h""".stripMargin,
     "q10_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[,;\-/().]', ' ', 'g'), '  +', ' ', 'g')) AS norm
