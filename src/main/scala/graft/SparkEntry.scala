@@ -77,6 +77,10 @@ object SparkEntry {
     // collapse) with the oracle deriving expected text from the source
     // columns independently
     "q46_html_extract" -> (TextOps.q46HtmlExtract _),
+    // URL canonicalization + registrable-domain grouping (parse_url,
+    // tracking-param strip, per-PLD window count); oracle reconstructs
+    // from source columns without parsing URLs
+    "q47_url_normalize" -> (UrlOps.q47UrlNormalize _),
     // transitive clustering operator
     "q33_components" -> (Components.q33Components _),
     // incremental cluster maintenance over the same graph: history edges
@@ -125,5 +129,5 @@ object SparkEntry {
       (TextOps.oracles - "q15_metaphone" - "q16_match_score") ++
       Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles ++
       Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles ++
-      SubsetCache.oracles
+      SubsetCache.oracles ++ UrlOps.oracles
 }
