@@ -81,6 +81,11 @@ object SparkEntry {
     // tracking-param strip, per-PLD window count); oracle reconstructs
     // from source columns without parsing URLs
     "q47_url_normalize" -> (UrlOps.q47UrlNormalize _),
+    // crawl link graph: <a href> outlink extraction from page bytes
+    // (comment/script decoys excluded) + fixed-point integer PageRank
+    // over the deterministic doc->doc graph
+    "q48_link_extract" -> (LinkGraph.q48LinkExtract _),
+    "q49_pagerank" -> (LinkGraph.q49PageRank _),
     // transitive clustering operator
     "q33_components" -> (Components.q33Components _),
     // incremental cluster maintenance over the same graph: history edges
@@ -129,5 +134,5 @@ object SparkEntry {
       (TextOps.oracles - "q15_metaphone" - "q16_match_score") ++
       Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles ++
       Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles ++
-      SubsetCache.oracles ++ UrlOps.oracles
+      SubsetCache.oracles ++ UrlOps.oracles ++ LinkGraph.oracles
 }

@@ -582,6 +582,16 @@ object ExprKernels {
   def bigramKeysDistinct(s: String): Array[Int] =
     graft.text.Ngrams.bigrams(s).distinct.sorted
 
+  /** html → ArrayData of href UTF8Strings (HtmlLinks codegen target). */
+  def htmlLinksBytes(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.text.Html.extractLinksBytes(b)
+        .map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+  def htmlLinksStr(s: String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.text.Html.extractLinks(s)
+        .map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+
   /** Multi-phrase match-score kernel (see RefMatchScores): null entries
     * where the reference returns kNoMatch. */
   def refMatchScores(name: UTF8String,
@@ -955,6 +965,32 @@ case class HtmlText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): HtmlText =
     copy(child = newChild)
   override def prettyName: String = "html_text"
+}
+
+/** Outlink extraction ([[graft.text.Html.extractLinks]]): `<a href>`
+  * values in document order, comment/script/style bodies excluded.
+  * binary|string → array<string>. */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private def isBinary: Boolean = child.dataType == BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType | _: StringType | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"html_links requires binary or string input, got ${other.simpleString}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    if (isBinary) ExprKernels.htmlLinksBytes(input.asInstanceOf[Array[Byte]])
+    else ExprKernels.htmlLinksStr(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (isBinary) s"graft.functions.ExprKernels.htmlLinksBytes($c)"
+      else s"graft.functions.ExprKernels.htmlLinksStr($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+  override def prettyName: String = "html_links"
 }
 
 /** Per-country address formatting (reference formatter.cc:87-159, X14).

@@ -95,6 +95,10 @@ package object functions {
     * comment skip, entity decode, whitespace collapse (graft.text.Html). */
   def html_text(c: Column): Column = col(HtmlText(ex(c)))
 
+  /** `<a href>` outlinks of an HTML payload (binary or string), in
+    * document order; comment/script/style bodies excluded. */
+  def html_links(c: Column): Column = col(HtmlLinks(ex(c)))
+
   /** Register all kernels under SQL names (idempotent, session-scoped). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -116,6 +120,7 @@ package object functions {
     reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_band_vals", es => LshBandVals(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("html_text", es => HtmlText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("html_links", es => HtmlLinks(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_md5", es => MinhashMd5(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_xx", es => MinhashXx(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "scala_udf")

@@ -28,6 +28,75 @@ import java.nio.charset.StandardCharsets
   */
 object Html {
 
+  private val HrefPattern = java.util.regex.Pattern.compile(
+    """(?i)(?:^|\s)href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""")
+
+  /** Outlink extraction: the `href` of every `<a>` tag, in document
+    * order. Links inside comments and script/style bodies are NOT links
+    * (same skip rules as [[extractText]]); double-quoted, single-quoted
+    * and unquoted attribute forms all parse; an `<a>` without an href
+    * contributes nothing. The (document-order) outlink list is the raw
+    * edge material of the crawl link graph — see
+    * [[graft.ops.LinkGraph]]. */
+  def extractLinksBytes(html: Array[Byte]): Array[String] =
+    extractLinks(new String(html, StandardCharsets.UTF_8))
+
+  def extractLinks(html: String): Array[String] = {
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && {
+          val d = html.charAt(i + 1)
+          Character.isLetter(d) || d == '/' || d == '!' || d == '?'
+        }) {
+          var j = i + 1
+          val closing = html.charAt(j) == '/'
+          if (closing || html.charAt(j) == '!' || html.charAt(j) == '?') j += 1
+          val ts = j
+          while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
+          val name = html.substring(ts, j).toLowerCase
+          val gt = html.indexOf('>', j)
+          if (gt < 0) i = n
+          else {
+            val selfClosed = gt > i && html.charAt(gt - 1) == '/'
+            if (!closing && name == "a") {
+              val m = HrefPattern.matcher(html.substring(j, gt))
+              if (m.find()) {
+                val v =
+                  if (m.group(1) != null) m.group(1)
+                  else if (m.group(2) != null) m.group(2)
+                  else m.group(3)
+                out += v
+              }
+            }
+            i = gt + 1
+            if (!closing && !selfClosed && (name == "script" || name == "style")) {
+              var e = i
+              var found = -1
+              val needle = "</" + name
+              while (found < 0 && e <= n - needle.length) {
+                if (html.regionMatches(true, e, needle, 0, needle.length)) found = e
+                e += 1
+              }
+              if (found < 0) i = n
+              else {
+                val g2 = html.indexOf('>', found)
+                i = if (g2 < 0) n else g2 + 1
+              }
+            }
+          }
+        } else i += 1
+      } else i += 1
+    }
+    out.toArray
+  }
+
   private val Inline: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("a", "b", "i", "em", "strong", "span", "u", "s", "small", "sup",
