@@ -9,9 +9,9 @@ import java.nio.charset.StandardCharsets
   *  - tags are stripped; `<script>`/`<style>` element CONTENT is skipped
   *    to the matching close tag (case-insensitive), `<!-- -->` comments
   *    are skipped whole;
-  *  - a `<` is a tag only when followed by a letter, `/` or `!` — bare
-  *    `<` in prose (`1 < 2`) is text, matching the HTML5 tokenizer's
-  *    less-than-sign-in-data rule;
+  *  - a `<` is a tag only when followed by a letter, `/`, `!` or `?`
+  *    (processing instruction) — bare `<` in prose (`1 < 2`) is text,
+  *    matching the HTML5 tokenizer's less-than-sign-in-data rule;
   *  - character references decode: the named set that dominates web text
   *    (`amp lt gt quot apos nbsp`) plus numeric `&#NNN;` / `&#xHH;`;
   *    an unterminated or unknown `&...` is literal text;
