@@ -86,6 +86,9 @@ object SparkEntry {
     // over the deterministic doc->doc graph
     "q48_link_extract" -> (LinkGraph.q48LinkExtract _),
     "q49_pagerank" -> (LinkGraph.q49PageRank _),
+    // Gopher-style repetition quality filter: duplicate word-5-gram
+    // permille per document (integer arithmetic, map-side only)
+    "q50_repetition" -> (TextOps.q50Repetition _),
     // transitive clustering operator
     "q33_components" -> (Components.q33Components _),
     // incremental cluster maintenance over the same graph: history edges

@@ -354,9 +354,61 @@ object TextOps {
         length(col("html")).as("html_bytes"))
   }
 
+  /** Repetition quality filter (the Gopher-family duplicate-n-gram rule,
+    * public: Rae et al. 2021 §A1.1): per document, the fraction of word
+    * 5-grams that are repeats of an earlier 5-gram in the same document.
+    * High-duplication pages (boilerplate, keyword stuffing, scraper loops)
+    * are the single biggest quality cut in web-corpus curation. Reported
+    * as integer permille — exact in any engine (q29's determinism rule).
+    * One map-side pass per doc, no shuffle. */
+  def q50Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(load(spark, dir, "documents"))
+
+  /** The q50 core over any (doc_id, text) frame. The synthetic documents
+    * corpus happens to be repetition-free (every dup_pm = 0 — still a
+    * hash-checked agreement on n_grams/n_distinct); TextAnalysisSpec
+    * drives crafted repetitive pages through the same expressions to pin
+    * the non-zero behavior. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(gf.normalize_text(col("text")), " "))
+      // explicit >= 5 guard: Spark's sequence(1, 0) auto-steps DOWN to
+      // [1, 0] (slice start 0 then errors) where DuckDB's
+      // generate_series(1, 0) is empty — the one sub-5-token divergence
+      .withColumn("g5", when(size(col("toks")) >= 5, expr(
+        "transform(sequence(1, size(toks) - 4)," +
+          " i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        size(col("g5")).cast("long").as("n_grams"),
+        size(array_distinct(col("g5"))).cast("long").as("n_distinct"))
+      .withColumn("dup_pm",
+        when(col("n_grams") === 0L, 0L)
+          .otherwise(expr("(n_grams - n_distinct) * 1000 div n_grams")))
+
   val oracles: Map[String, String] = Map(
     // expected text reconstructed from the source columns; html rebuilt
     // only to measure its byte length — the oracle never parses it
+    // same normalize mirror as q10; integer permille = exact compare
+    "q50_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[,;\-/().]', ' ', 'g'), '  +', ' ', 'g')),
+        |    ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT t.doc_id, array_to_string(t.toks[i.i:i.i+4], ' ') AS g5
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(t.toks) - 4, 0))) AS i) i),
+        |a AS (
+        |  SELECT doc_id, count(*) AS n_grams, count(DISTINCT g5) AS n_distinct
+        |  FROM g GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_distinct, 0) AS n_distinct,
+        |  CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0
+        |       ELSE (a.n_grams - a.n_distinct) * 1000 // a.n_grams END AS dup_pm
+        |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""".stripMargin,
     "q46_html_extract" ->
       """WITH h AS (
         |  SELECT doc_id, source, text, lang,

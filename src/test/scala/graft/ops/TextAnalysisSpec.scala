@@ -82,4 +82,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(wrong.isEmpty,
       s"misclassified: ${wrong.map(r => s"${r.getLong(0)}:${r.getString(1)}->${r.getString(2)}").mkString(", ")}")
   }
+
+  test("repetition filter scores duplicated 5-grams and clean text apart") {
+    val docs = Seq(
+      // 10 tokens repeated 5x: a scraper-loop page — most 5-grams repeat
+      (1L, Seq.fill(5)("alpha beta gamma delta epsilon zeta eta theta iota kappa").mkString(" ")),
+      // 46 distinct tokens: no repeated 5-gram
+      (2L, "the quick brown fox jumps over one lazy dog while seventeen " +
+        "curious children watch from behind a tall wooden fence near the " +
+        "old stone bridge that crosses our shallow winter river just " +
+        "before it bends south toward those distant purple hills today"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (n1, d1, pm1) = out(1L)
+    assert(n1 == 46 && d1 == 10, s"5x10-token loop: got $n1 grams, $d1 distinct")
+    assert(pm1 == (46 - 10) * 1000 / 46, s"dup_pm $pm1")
+    val (_, _, pm2) = out(2L)
+    assert(pm2 == 0L, s"clean text must score 0, got $pm2")
+    assert(out(3L) == ((0L, 0L, 0L)), "sub-5-token doc: zero grams, zero score")
+  }
 }
