@@ -30,6 +30,7 @@ object Bench {
     // engine, not first-call JIT + planner warmup
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      finally ops.Caches.releaseAll()
     }
 
     // best-of-3 at the target sf: a single local[32] JVM has multi-second
@@ -40,7 +41,9 @@ object Bench {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        ops.Caches.releaseAll() // each sample re-persists its own frames
+        dt
       }
       name -> times.min
     }

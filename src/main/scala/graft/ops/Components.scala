@@ -138,12 +138,13 @@ object Components {
   /** The q33 match graph as data: interned part names + JW-accepted
     * blocking edges (shared by q33 and the incremental variant q45). */
   private[ops] def nameGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val interned = load(spark, dir, "part")
+    val interned = Caches.persist(load(spark, dir, "part")
       .select(gf.normalize_text(col("p_name")).as("name"), col("p_partkey"))
-      .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id"))
+      .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id")))
       // referenced by the trigram index, the name join, AND the vertex set
-      // — persist once instead of recomputing the scan+groupBy per branch
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // — persist once instead of recomputing the scan+groupBy per branch;
+      // registered with Caches so the harness releases it after the
+      // query's sink action (q33 and q45 each build the graph)
     val withTris = interned
       .withColumn("tris", TextOps.trigramStrings(col("name")))
       .withColumn("n", size(col("tris")))
@@ -170,10 +171,9 @@ object Components {
       .join(kv.withColumnRenamed("name_id", "dst").withColumnRenamed("name", "name_dst"), Seq("dst"))
       .filter(gf.jaro_winkler(col("name_src"), col("name_dst")) >= 0.9)
       .select(col("src"), col("dst"))
-      // the undirected expansion inside connectedComponents references the
-      // edge frame twice — persist so blocking+JW runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (interned, edges)
+    // the undirected expansion inside connectedComponents references the
+    // edge frame twice — persist (harness-released) so blocking+JW runs once
+    (interned, Caches.persist(edges))
   }
 
   /** Incremental maintenance, driver-checked (q45): the SAME match graph

@@ -74,16 +74,37 @@ object Extras {
       ((col(key) * 7919) % 1000).cast("double").divide(100.0).minus(5.0).as("lat"),
       ((col(key) * 104729) % 1000).cast("double").divide(100.0).minus(5.0).as("lng"))
 
+  /** Hot-cell cap for the q34/q40 spatial joins (same discipline as every
+    * other block-expanding operator here — Dedup.MaxBlock, drop whole,
+    * mirrored in the oracle via HAVING): real geo data is Zipf-dense per
+    * cell (a Tokyo 1-degree cell at 100× scale is |points|×|sites| in one
+    * task), so cells whose replicated-site count exceeds the cap stop
+    * producing candidates entirely — the reference analogue is the
+    * R-tree's logarithmic candidate bound (reverse.cc:39-52; a production
+    * variant would refine over-cap cells one level instead of dropping).
+    * The kept-cell list is tiny by construction (≤ 360×180 one-degree
+    * cells on the whole planet) so it re-attaches as a broadcast join —
+    * no extra shuffle on the data path. Exposed for the dense-cell stress
+    * spec. */
+  private[graft] def capCells(siteCells: DataFrame): DataFrame = {
+    val kept = siteCells.groupBy(col("cla"), col("clo"))
+      .agg(count(lit(1)).as("cell_sites"))
+      .filter(col("cell_sites") <= Dedup.MaxBlock)
+      .select(col("cla"), col("clo"))
+    siteCells.join(broadcast(kept), Seq("cla", "clo"))
+  }
+
   def q34SpatialCellJoin(spark: SparkSession, dir: String): DataFrame = {
     val pts = coords(load(spark, dir, "customer"), "c_custkey", "id")
       .withColumn("cla", floor(col("lat")).cast("int"))
       .withColumn("clo", floor(col("lng")).cast("int"))
-    val sites = coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
-      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
-      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
-      .select(col("site_id"), col("lat").as("s_lat"), col("lng").as("s_lng"),
-        (floor(col("lat")) + col("dx")).cast("int").as("cla"),
-        (floor(col("lng")) + col("dy")).cast("int").as("clo"))
+    val sites = capCells(
+      coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
+        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+        .select(col("site_id"), col("lat").as("s_lat"), col("lng").as("s_lng"),
+          (floor(col("lat")) + col("dx")).cast("int").as("cla"),
+          (floor(col("lng")) + col("dy")).cast("int").as("clo")))
     val dlat = col("lat") - col("s_lat")
     val dlng = col("lng") - col("s_lng")
     val dist2 = dlat * dlat + dlng * dlng
@@ -122,14 +143,15 @@ object Extras {
       struct((col("s_lng") + radius(17)).as("x"), col("s_lat").as("y")),
       struct(col("s_lng").as("x"), (col("s_lat") - radius(19)).as("y")),
       struct((col("s_lng") - radius(23)).as("x"), col("s_lat").as("y")))
-    val polys = coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
-      .withColumnRenamed("lat", "s_lat").withColumnRenamed("lng", "s_lng")
-      .withColumn("ring", ring) // S5: nested ring column
-      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
-      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
-      .select(col("site_id"), col("ring"),
-        (floor(col("s_lat")) + col("dx")).cast("int").as("cla"),
-        (floor(col("s_lng")) + col("dy")).cast("int").as("clo"))
+    val polys = capCells(
+      coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
+        .withColumnRenamed("lat", "s_lat").withColumnRenamed("lng", "s_lng")
+        .withColumn("ring", ring) // S5: nested ring column
+        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+        .select(col("site_id"), col("ring"),
+          (floor(col("s_lat")) + col("dx")).cast("int").as("cla"),
+          (floor(col("s_lng")) + col("dy")).cast("int").as("clo")))
     pts.join(polys, Seq("cla", "clo")) // cell candidates (J6 shape)
       .withColumn("n_crossings",
         graft.functions.point_in_ring(col("ring"), col("lng"), col("lat")))
@@ -490,13 +512,18 @@ object Extras {
         |  FROM sites,
         |    LATERAL (SELECT unnest([-1,0,1]) AS dx) dx,
         |    LATERAL (SELECT unnest([-1,0,1]) AS dy) dy),
+        |cell_ok AS (
+        |  SELECT cla, clo FROM site_cells GROUP BY 1, 2 HAVING count(*) <= 256),
+        |site_kept AS (
+        |  SELECT s.* FROM site_cells s JOIN cell_ok k
+        |    ON s.cla = k.cla AND s.clo = k.clo),
         |pt_cells AS (
         |  SELECT id, lat, lng, CAST(floor(lat) AS INT) AS cla,
         |    CAST(floor(lng) AS INT) AS clo FROM pts),
         |j AS (
         |  SELECT p.id, s.site_id, p.lat - s.lat AS dlat, p.lng - s.lng AS dlng,
         |    p.lat AS plat, s.lat AS slat
-        |  FROM pt_cells p JOIN site_cells s ON p.cla = s.cla AND p.clo = s.clo)
+        |  FROM pt_cells p JOIN site_kept s ON p.cla = s.cla AND p.clo = s.clo)
         |SELECT id, site_id,
         |  round(dlat * dlat + dlng * dlng, 4) AS dist2,
         |  round(6371.0 * 2.0 * asin(sqrt(
@@ -526,10 +553,15 @@ object Extras {
         |  FROM poly,
         |    LATERAL (SELECT unnest([-1,0,1]) AS dx) dx,
         |    LATERAL (SELECT unnest([-1,0,1]) AS dy) dy),
+        |cell_ok AS (
+        |  SELECT cla, clo FROM cells GROUP BY 1, 2 HAVING count(*) <= 256),
+        |cells_kept AS (
+        |  SELECT s.* FROM cells s JOIN cell_ok k
+        |    ON s.cla = k.cla AND s.clo = k.clo),
         |j AS (
         |  SELECT p.id, s.site_id, p.lat, p.lng,
         |    s.sx, s.sy, s.r1, s.r2, s.r3, s.r4
-        |  FROM pts p JOIN cells s
+        |  FROM pts p JOIN cells_kept s
         |    ON CAST(floor(p.lat) AS INT) = s.cla AND CAST(floor(p.lng) AS INT) = s.clo),
         |c AS (
         |  SELECT id, site_id,

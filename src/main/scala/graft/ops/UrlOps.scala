@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** URL operators for Common-Crawl-style corpora: host extraction,
   * registrable-domain (PLD) derivation, tracking-parameter-stripping
@@ -25,8 +24,13 @@ object UrlOps {
     * fragment dropped. The oracle reconstructs every output column
     * directly from the source columns — it never parses the URL — so a
     * wrong parse offset, port or param rule diverges and fails the gate.
-    * docs_in_pld (a window count over the PLD) is the host-level grouping
-    * every per-site signal aggregates over. */
+    * docs_in_pld is the host-level grouping every per-site signal
+    * aggregates over — computed as `groupBy(pld).count()` + equi-join back
+    * rather than `count(*) OVER (PARTITION BY pld)`: PLDs are Zipf-hot on
+    * any Common-Crawl-shaped corpus (wikipedia.org, blogspot.com), and an
+    * unframed window materializes the whole hot partition in one task,
+    * while partial aggregation absorbs the skew map-side and the join
+    * back is an ordinary shuffled (or AQE-broadcast) hash join. */
   def q47UrlNormalize(spark: SparkSession, dir: String): DataFrame = {
     val d = load(spark, dir, "documents")
     val did = col("doc_id").cast("string")
@@ -44,18 +48,24 @@ object UrlOps {
     val host = parse_url(col("url"), lit("HOST"))
     val labels = split(host, "\\.")
     val pld = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
-    val keptParams = array_join(
+    // coalesce: a query-less URL yields NULL from parse_url(QUERY); without
+    // it the whole canonical column null-propagates instead of falling back
+    // to scheme+host+path.
+    val keptParams = coalesce(array_join(
       filter(split(parse_url(col("url"), lit("QUERY")), "&"),
-        p => !p.startsWith("utm_")), "&")
+        p => !p.startsWith("utm_")), "&"), lit(""))
     val canonical = concat(lit("https://"), host,
       parse_url(col("url"), lit("PATH")),
       when(keptParams === "", "").otherwise(concat(lit("?"), keptParams)))
 
-    d.select(col("doc_id"), url.as("url"))
+    val parsed = d.select(col("doc_id"), url.as("url"))
       .select(col("doc_id"), host.as("host"), pld.as("pld"),
         canonical.as("canonical"))
-      .withColumn("docs_in_pld",
-        count(lit(1)).over(Window.partitionBy(col("pld"))))
+    val pldCounts = parsed.groupBy(col("pld"))
+      .agg(count(lit(1)).as("docs_in_pld"))
+    parsed.join(pldCounts, "pld")
+      .select(col("doc_id"), col("host"), col("pld"), col("canonical"),
+        col("docs_in_pld"))
   }
 
   val oracles: Map[String, String] = Map(
