@@ -46,6 +46,13 @@ object Suggest {
 
   private def byteLen(c: Column): Column = octet_length(c)
 
+  /** Entity `areas` column type: MULTI-LANGUAGE names per area
+    * (typeahead.h:88-90 area_names_/area_name_lang_ — one name per
+    * discovered language; the fold takes the best across the user's
+    * language list, get_suggestions.cc:88-104). */
+  val AreasType: String =
+    "array<struct<names:array<struct<name:string,lang:string>>,level:int,pop:bigint>>"
+
   /** Driver-facing composed query (rows-only check — the reference scorer
     * at its heart has no SQL analogue, same omission class as q16; the
     * fixture-level goldens live in SuggestSpec): part names become
@@ -63,8 +70,9 @@ object Suggest {
       .select(col("entity_id"), col("name"), lit("street").as("kind"),
         lit("").as("category"), lit(0L).as("population"),
         lit("default").as("name_lang"), col("entity_id").as("location"),
-        array(struct(col("mfgr").as("name"), lit(4).as("level"),
-          lit(0L).as("pop"))).as("areas"),
+        array(struct(
+          array(struct(col("mfgr").as("name"), lit("default").as("lang"))).as("names"),
+          lit(4).as("level"), lit(0L).as("pop"))).as("areas"),
         col("house_numbers"))
     val s = graft.ops.Tables.load(spark, dir, "supplier")
     val places = s.select(
@@ -77,7 +85,7 @@ object Suggest {
       when(col("s_suppkey") % 3 === 0, "default").when(col("s_suppkey") % 3 === 1, "de")
         .otherwise("xx").as("name_lang"),
       (col("s_suppkey") + 10000000L).cast("long").as("location"),
-      array().cast("array<struct<name:string,level:int,pop:bigint>>").as("areas"),
+      array().cast(AreasType).as("areas"),
       array().cast("array<string>").as("house_numbers"))
     val entities = streets.unionByName(places)
     val queries = p.filter(col("p_partkey") % 97 === 0)
@@ -237,8 +245,9 @@ object Suggest {
       col("b.bits").bitwiseOR(col("h.bits"))).otherwise(col("b.bits"))
     val assembled = withHn
       .withColumn("pre_mask", maskAfterHn)
-      .withColumn("ar", graft.ops.Extras.greedyAreaAssembly(
-        col("phrases"), col("areas"), col("pre_mask")))
+      .withColumn("ar", graft.ops.Extras.greedyAreaAssemblyML(
+        col("phrases"), col("areas"),
+        array(userLangs.map(lit): _*), col("pre_mask")))
     val finalMask = col("ar")("tok")
     val unmatchedPenalty = aggregate( // +3·len per uncovered query token
       sequence(lit(1), size(col("tokens"))), lit(0.0d),
@@ -272,7 +281,8 @@ object Suggest {
     val preRank = assembled.withColumn("score", total)
       .withColumn("matched_hn", col("h")("hn"))
       .select(col("query_id"), col("entity_id"), col("kind"), col("name"),
-        col("location"), col("score"), col("matched_hn"))
+        col("location"), col("score"), col("matched_hn"),
+        col("ar")("alang").as("area_langs")) // matched_area_lang_, guess_context.h:54-57
     preRank
       .withColumn("is_duplicate", row_number().over(
         Window.partitionBy(col("query_id"), col("location"))
@@ -283,7 +293,7 @@ object Suggest {
       .filter(col("rank") <= topN)
       .select(col("query_id"), col("rank"), col("entity_id"), col("kind"),
         col("name"), round(col("score"), 4).as("score"),
-        col("is_duplicate"), col("matched_hn"))
+        col("is_duplicate"), col("matched_hn"), col("area_langs"))
   }
 
   /** Driver query for the rank skeleton (stages 6-10) with a
@@ -297,7 +307,15 @@ object Suggest {
     * (same `location` ⇒ K5 duplicate marking fires); queries carry three
     * fixed phrases (first name token / size digits [numeric] / brand);
     * the injected b.score is plain Levenshtein(token1, entity name), the
-    * injected house-number scorer is exact-match = -1. */
+    * injected house-number scorer is exact-match = -1.
+    *
+    * The brand area is BILINGUAL (user langs [default, de]): for every
+    * third street the default-language name carries a trailing 'x' while
+    * the German name is the exact brand — so the area fold matches
+    * through the GERMAN name there (lang nibble 2 in `area_langs`) and
+    * through the tied default name elsewhere (first-language-wins,
+    * nibble 1) — the activate_areas cross-language min and tie rule,
+    * hash-checked end to end. */
   def q42RankSkeleton(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val p = graft.ops.Tables.load(spark, dir, "part")
       .withColumn("name", lower(col("p_name"))) // ASCII ⇒ equals normalize
@@ -307,7 +325,13 @@ object Suggest {
       .select(col("entity_id"), col("name"), lit("street").as("kind"),
         lit("").as("category"), lit(0L).as("population"),
         lit("default").as("name_lang"), col("entity_id").as("location"),
-        array(struct(col("mfgr").as("name"), lit(4).as("level"),
+        array(struct(
+          array(
+            struct(concat(col("mfgr"),
+              when(col("entity_id") % 3 === 0, "x").otherwise("")).as("name"),
+              lit("default").as("lang")),
+            struct(col("mfgr").as("name"), lit("de").as("lang"))).as("names"),
+          lit(4).as("level"),
           ((col("entity_id") * 7) % 1000000).as("pop"))).as("areas"),
         array().cast("array<string>").as("house_numbers")) // filled below
     val hnChildren = p.join(streets.select(col("entity_id"), col("name")), Seq("name"))
@@ -329,7 +353,7 @@ object Suggest {
       // location GROUPS (suppkey mod 29): co-candidates share a location,
       // so stage-10 duplicate marking actually fires
       (lit(10000000L) + (col("s_suppkey") % 29)).cast("long").as("location"),
-      array().cast("array<struct<name:string,level:int,pop:bigint>>").as("areas"),
+      array().cast(AreasType).as("areas"),
       array().cast("array<string>").as("house_numbers"))
     val entities = streetsWithHn.unionByName(places)
 
@@ -362,7 +386,8 @@ object Suggest {
         struct(levenshtein(col("tok1"), col("name")).cast("float").as("score"),
           lit(0).as("pidx"), lit(1L).as("bits")).as("b"))
 
-    rankFrom(bestPhrase, entities, q, topN = 10, userLangs = Seq("default"),
+    rankFrom(bestPhrase, entities, q, topN = 10,
+      userLangs = Seq("default", "de"),
       hnKeyFn = identity,
       hnScoreFn = (hnKey, ps) =>
         when(hnKey === ps, lit(-1.0f)).otherwise(lit(null).cast("float")))
@@ -399,12 +424,15 @@ object Suggest {
         |cand AS (
         |  SELECT q.query_id, s.entity_id, 'street' AS kind, s.name,
         |    s.entity_id AS location, s.mfgr, s.apop,
+        |    s.mfgr || CASE WHEN s.entity_id % 3 = 0 THEN 'x' ELSE '' END AS a_def,
+        |    s.mfgr AS a_de,
         |    '' AS category, CAST(0 AS BIGINT) AS population, 'default' AS name_lang,
         |    CAST(levenshtein(q.tok1, s.name) AS DOUBLE) AS bscore
         |  FROM q JOIN streets s ON string_split(s.name, ' ')[1] = q.tok1
         |  UNION ALL
         |  SELECT q.query_id, p.entity_id, 'place' AS kind, p.name,
         |    p.location, '' AS mfgr, CAST(0 AS BIGINT) AS apop,
+        |    '' AS a_def, '' AS a_de,
         |    p.category, p.population, p.name_lang,
         |    CAST(levenshtein(q.tok1, p.name) AS DOUBLE) AS bscore
         |  FROM q JOIN places p ON (p.entity_id - 10000000) % 29 = q.query_id % 29),
@@ -415,22 +443,37 @@ object Suggest {
         |  FROM cand c JOIN q USING (query_id)
         |  LEFT JOIN hns h ON c.kind = 'street' AND h.entity_id = c.entity_id
         |    AND h.hn = q.tok2),
+        |-- per-language gated scores for the bilingual brand area: the
+        |-- fold's per-area score is the least across [default, de] with
+        |-- first-language-wins tie-break (activate_areas' strict `<`)
+        |lv AS (
+        |  SELECT *,
+        |    CASE WHEN 2 * levenshtein(tok2, a_def) <= least(len(tok2), len(a_def))
+        |      THEN CAST(levenshtein(tok2, a_def) AS DOUBLE) ELSE 1e9 END AS g2d,
+        |    CASE WHEN 2 * levenshtein(tok2, a_de) <= least(len(tok2), len(a_de))
+        |      THEN CAST(levenshtein(tok2, a_de) AS DOUBLE) ELSE 1e9 END AS g2e,
+        |    CASE WHEN 2 * levenshtein(tok3, a_def) <= least(len(tok3), len(a_def))
+        |      THEN CAST(levenshtein(tok3, a_def) AS DOUBLE) ELSE 1e9 END AS g3d,
+        |    CASE WHEN 2 * levenshtein(tok3, a_de) <= least(len(tok3), len(a_de))
+        |      THEN CAST(levenshtein(tok3, a_de) AS DOUBLE) ELSE 1e9 END AS g3e
+        |  FROM withhn),
         |folded AS (
         |  SELECT *,
         |    CAST(CASE WHEN hn_ok THEN 3 ELSE 1 END AS BIGINT) AS pre_mask,
-        |    -- greedy fold, phrases (tok1 b1, tok2 b2, tok3 b4) × 1 area (mfgr):
+        |    least(g2d, g2e) AS s2, CASE WHEN g2d <= g2e THEN 1 ELSE 2 END AS l2,
+        |    least(g3d, g3e) AS s3, CASE WHEN g3d <= g3e THEN 1 ELSE 2 END AS l3,
+        |    -- greedy fold, phrases (tok1 b1, tok2 b2, tok3 b4) × 1 area:
         |    -- phrase1 bit always overlaps pre_mask (b.bits = 1) -> skipped;
-        |    -- phrase2/3 match iff bit free and the lev gate passes
+        |    -- phrase2/3 match iff bit free and some language's gate passes
         |    (kind = 'street' AND (2 & CASE WHEN hn_ok THEN 3 ELSE 1 END) = 0
-        |      AND 2 * levenshtein(tok2, mfgr) <= least(len(tok2), len(mfgr))) AS ok2,
-        |    (kind = 'street'
-        |      AND 2 * levenshtein(tok3, mfgr) <= least(len(tok3), len(mfgr))) AS ok3
-        |  FROM withhn),
+        |      AND least(g2d, g2e) < 1e9) AS ok2,
+        |    (kind = 'street' AND least(g3d, g3e) < 1e9) AS ok3
+        |  FROM lv),
         |-- fold steps in the SAME left-to-right IEEE association as the
         |-- Spark aggregate: d2 = (0 + s2) - pop', d3 = (d2 + s3) - pop'
         |fold2 AS (
         |  SELECT *,
-        |    CASE WHEN ok2 THEN (0.0 + CAST(levenshtein(tok2, mfgr) AS DOUBLE))
+        |    CASE WHEN ok2 THEN (0.0 + s2)
         |      - (apop * 2.0) / 10000000.0 ELSE 0.0 END AS d2
         |  FROM folded),
         |scored AS (
@@ -438,7 +481,10 @@ object Suggest {
         |    pre_mask
         |      + CASE WHEN ok2 THEN 2 ELSE 0 END
         |      + CASE WHEN ok3 THEN 4 ELSE 0 END AS final_mask,
-        |    CASE WHEN ok3 THEN (d2 + CAST(levenshtein(tok3, mfgr) AS DOUBLE))
+        |    -- a later phrase re-matching the area OVERWRITES its lang nibble
+        |    CAST(CASE WHEN ok3 THEN l3 WHEN ok2 THEN l2 ELSE 0 END AS BIGINT)
+        |      AS area_langs,
+        |    CASE WHEN ok3 THEN (d2 + s3)
         |      - (apop * 2.0) / 10000000.0 ELSE d2 END AS ar_dist,
         |    CASE WHEN ok2 THEN 1 ELSE 0 END + CASE WHEN ok3 THEN 1 ELSE 0 END
         |      AS n_areas_matched,
@@ -459,6 +505,7 @@ object Suggest {
         |  FROM fold2),
         |totals AS (
         |  SELECT query_id, entity_id, kind, name, location, matched_hn,
+        |    area_langs,
         |    bscore
         |      + CASE WHEN hn_ok THEN -1.0 - 5.0 ELSE 0.0 END
         |      + (ar_dist - 2.0 * n_areas_matched)
@@ -473,7 +520,8 @@ object Suggest {
         |      - CASE WHEN kind = 'place' THEN
         |          least(3.0, greatest(0.0, population / 200000.0)) ELSE 0.0 END
         |      - CASE WHEN kind <> 'place' THEN 0.0
-        |          WHEN name_lang = 'default' THEN 0.5 ELSE -0.1 END AS score
+        |          WHEN name_lang = 'default' THEN 0.5
+        |          WHEN name_lang = 'de' THEN 0.25 ELSE -0.1 END AS score
         |  FROM scored),
         |marked AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id, location
@@ -484,7 +532,7 @@ object Suggest {
         |      ORDER BY is_duplicate ASC, score ASC, entity_id ASC) AS INT) AS rank
         |  FROM marked)
         |SELECT query_id, rank, entity_id, kind, name,
-        |  round(score, 4) AS score, is_duplicate, matched_hn
+        |  round(score, 4) AS score, is_duplicate, matched_hn, area_langs
         |FROM ranked WHERE rank <= 10""".stripMargin
   )
 }

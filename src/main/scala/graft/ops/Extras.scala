@@ -273,10 +273,42 @@ object Extras {
 
   /** Variant seeding the token mask with the item's already-matched bits
     * (reference: `matched_tokens_mask = item_matched_mask`,
-    * get_suggestions.cc:182). */
+    * get_suggestions.cc:182). Single-language convenience shape
+    * (areas: array<struct<name,level,pop>>) — delegates to the
+    * multi-language fold with one 'default' name per area and drops the
+    * matched-language nibbles from the result. */
   def greedyAreaAssembly(phrases: Column, areas: Column, initMask: Column): Column = {
+    val ml = greedyAreaAssemblyML(phrases,
+      transform(areas, a => struct(
+        array(struct(a("name").as("name"), lit("default").as("lang"))).as("names"),
+        a("level").as("level"), a("pop").as("pop"))),
+      array(lit("default")), initMask)
+    struct(ml("tok").as("tok"), ml("amask").as("amask"), ml("dist").as("dist"))
+  }
+
+  /** A6 greedy argmin area assembly, MULTI-LANGUAGE names (reference
+    * `activate_areas`, get_suggestions.cc:88-104: per (area, phrase) the
+    * score is the best match across the USER'S language list — strict `<`
+    * update, so the first language in the list wins ties — and the winning
+    * language index is recorded per matched area,
+    * `matched_area_lang_`/guess_context.h:43-46). Without this, any corpus
+    * with bilingual admin areas (Brussels, Switzerland, most of Asia)
+    * ranks against one arbitrary name.
+    *
+    * areas:   array<struct<names: array<struct<name,lang>>, level, pop>>
+    * langs:   array<string> — the user's language preference order
+    * returns: struct<tok, amask, dist, alang> where `alang` packs, per
+    *          matched area index i (1-based), the 1-based position in
+    *          `langs` of the winning language into nibble i-1 (0 = area
+    *          unmatched; a later phrase re-matching the same area
+    *          OVERWRITES its nibble, exactly the reference's
+    *          `area_lang[best_area_idx] = ...` assignment). Nibble packing
+    *          bounds area sets at 16 — the reference's own area_set_lang_t
+    *          is a fixed small array (guess_context.h:43-46). */
+  def greedyAreaAssemblyML(phrases: Column, areas: Column, langs: Column,
+      initMask: Column): Column = {
     val init = struct(initMask.cast("long").as("tok"), lit(0L).as("amask"),
-      lit(0.0d).as("dist"))
+      lit(0.0d).as("dist"), lit(0L).as("alang"))
     val NoMatch = 1e9d
     val folded = aggregate(phrases, init, (acc, p) => {
       // F9 per-TOKEN numeric rule (normalize.h:192-206 via the phrase's
@@ -287,22 +319,38 @@ object Extras {
         lit(2) * length(regexp_replace(t, "[^0-9]", "")) >= length(t))
       val scored = transform(sequence(lit(1), size(areas)), i => {
         val a = element_at(areas, i)
-        val lev = levenshtein(p("s"), a("name"))
-        val minLen = least(length(p("s")), length(a("name")))
-        val ok = (a("level") =!= 12 || isNum) && (lev * 2 <= minLen)
-        struct(when(ok, lev.cast("double")).otherwise(lit(NoMatch)).as("score"),
-          i.cast("int").as("idx"))
+        // best score across the user's languages; areas without a name in
+        // a language simply don't compete in it (find_lang < 0 skip)
+        val langScored = transform(sequence(lit(1), size(langs)), li => {
+          val nm = try_element_at( // empty filter result = lang absent (find_lang < 0)
+            filter(a("names"), x => x("lang") === element_at(langs, li)), lit(1))
+          val lev = levenshtein(p("s"), nm("name"))
+          val ok = nm.isNotNull &&
+            (lev * 2 <= least(length(p("s")), length(nm("name"))))
+          struct(when(ok, lev.cast("double")).otherwise(lit(NoMatch)).as("score"),
+            li.cast("int").as("lidx"))
+        })
+        val bestLang = array_min(langScored) // (score, lidx): first lang wins ties
+        val allowed = a("level") =!= 12 || isNum
+        struct(when(allowed, bestLang("score")).otherwise(lit(NoMatch)).as("score"),
+          i.cast("int").as("idx"), bestLang("lidx").as("lidx"))
       })
       val best = array_min(scored) // lexicographic (score, idx): first min wins
       val bestArea = element_at(areas, best("idx"))
       val matched = (p("bits").bitwiseAND(acc("tok")) === 0) &&
         best("score") < NoMatch
+      // overwrite (not OR) the matched area's language nibble
+      val nib = pow(lit(16.0d), best("idx") - 1).cast("long")
+      val alangNext = acc("alang")
+        .bitwiseAND(bitwise_not(nib * lit(15L)))
+        .bitwiseOR(best("lidx").cast("long") * nib)
       when(matched, struct(
         acc("tok").bitwiseOR(p("bits")).as("tok"),
         acc("amask").bitwiseOR(
           pow(lit(2.0d), best("idx") - 1).cast("long")).as("amask"),
         (acc("dist") + best("score") -
-          bestArea("pop").cast("double") * 2.0d / 1e7).as("dist")))
+          bestArea("pop").cast("double") * 2.0d / 1e7).as("dist"),
+        alangNext.as("alang")))
         .otherwise(acc)
     })
     // entities without areas: identity result (the when short-circuits the
@@ -311,12 +359,18 @@ object Extras {
       .otherwise(folded)
   }
 
-  /** A6 as an oracle-checked query: each customer is a query whose phrase
-    * list is [nation-name variant (exact / 1-char-dropped / garbage),
-    * numeric zip candidate, region name] with deliberately OVERLAPPING
-    * token bits (1, 2, 5) against its nation⊂region⊂zip area chain — so
-    * the region phrase is greedily skipped exactly when the nation phrase
-    * matched first, which no order-free per-phrase min can reproduce. */
+  /** A6 as an oracle-checked query, MULTI-LANGUAGE edition: each customer
+    * is a query whose phrase list is [nation-name variant (en-exact /
+    * de-exact / 1-char-dropped / garbage), numeric zip candidate, region
+    * name] with deliberately OVERLAPPING token bits (1, 2, 5) against its
+    * nation⊂region⊂zip area chain — so the region phrase is greedily
+    * skipped exactly when the nation phrase matched first, which no
+    * order-free per-phrase min can reproduce. The nation area carries TWO
+    * names (en = nation name, de = nation name + "land"; user language
+    * list [en, de]), so the de-exact phrase variant matches the nation
+    * area THROUGH ITS GERMAN NAME — the activate_areas cross-language min
+    * (get_suggestions.cc:88-104) — and `matched_area_langs` carries the
+    * per-area winning-language nibbles (guess_context.h:43-46). */
   def q38AreaAssembly(spark: SparkSession, dir: String): DataFrame = {
     val c = load(spark, dir, "customer")
     val n = load(spark, dir, "nation")
@@ -325,8 +379,10 @@ object Extras {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
     val nName = lower(col("n_name"))
     val rName = lower(col("r_name"))
-    val p1 = when(col("c_custkey") % 3 === 0, nName)
-      .when(col("c_custkey") % 3 === 1,
+    val deName = concat(nName, lit("land"))
+    val p1 = when(col("c_custkey") % 4 === 0, nName)
+      .when(col("c_custkey") % 4 === 1, deName)
+      .when(col("c_custkey") % 4 === 2,
         substring(nName, lit(1), length(nName) - 1))
       .otherwise(lit("zzz"))
     val phrases = array(
@@ -334,16 +390,25 @@ object Extras {
       struct((col("c_custkey") % 100).cast("string").as("s"), lit(2L).as("bits")),
       struct(rName.as("s"), lit(5L).as("bits")))
     val areas = array(
-      struct(nName.as("name"), lit(4).as("level"),
+      struct(array(
+          struct(nName.as("name"), lit("en").as("lang")),
+          struct(deName.as("name"), lit("de").as("lang"))).as("names"),
+        lit(4).as("level"),
         ((col("n_nationkey") * 500000) % 8000000).cast("long").as("pop")),
-      struct(rName.as("name"), lit(2).as("level"), lit(0L).as("pop")),
-      struct(((col("c_nationkey") * 37) % 100).cast("string").as("name"),
+      struct(array(
+          struct(rName.as("name"), lit("en").as("lang"))).as("names"),
+        lit(2).as("level"), lit(0L).as("pop")),
+      struct(array(
+          struct(((col("c_nationkey") * 37) % 100).cast("string").as("name"),
+            lit("en").as("lang"))).as("names"),
         lit(12).as("level"), lit(0L).as("pop")))
-    val res = greedyAreaAssembly(phrases, areas)
+    val res = greedyAreaAssemblyML(phrases, areas,
+      array(lit("en"), lit("de")), lit(0L))
     joined.select(col("c_custkey").as("qid"),
       res("tok").as("matched_tokens_mask"),
       res("amask").as("matched_areas_mask"),
-      round(res("dist"), 4).as("areas_dist"))
+      round(res("dist"), 4).as("areas_dist"),
+      res("alang").as("matched_area_langs"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -373,16 +438,20 @@ object Extras {
     // A6 greedy fold, unrolled to scalar SQL: the query's phrase and area
     // lists are fixed length 3, so each greedy step becomes one CTE with
     // explicit argmin-by-(score, index) and mask updates — an exact mirror
-    // of the Spark `aggregate` fold.
+    // of the Spark `aggregate` fold. The bilingual nation area unrolls as
+    // a per-language least() with first-language-wins tie-break (l11 etc.)
+    // and the matched-language nibbles mirror the overwrite arithmetic.
     "q38_area_assembly" ->
       """WITH base AS (
         |  SELECT c_custkey AS qid,
-        |    CASE WHEN c_custkey % 3 = 0 THEN lower(n_name)
-        |         WHEN c_custkey % 3 = 1 THEN substr(lower(n_name), 1, CAST(len(n_name) AS INT) - 1)
+        |    CASE WHEN c_custkey % 4 = 0 THEN lower(n_name)
+        |         WHEN c_custkey % 4 = 1 THEN lower(n_name) || 'land'
+        |         WHEN c_custkey % 4 = 2 THEN substr(lower(n_name), 1, CAST(len(n_name) AS INT) - 1)
         |         ELSE 'zzz' END AS p1,
         |    CAST(c_custkey % 100 AS VARCHAR) AS p2,
         |    lower(r_name) AS p3,
-        |    lower(n_name) AS a1, lower(r_name) AS a2,
+        |    lower(n_name) AS a1en, lower(n_name) || 'land' AS a1de,
+        |    lower(r_name) AS a2,
         |    CAST((c_nationkey * 37) % 100 AS VARCHAR) AS a3,
         |    CAST((n_nationkey * 500000) % 8000000 AS BIGINT) AS pop1
         |  FROM customer
@@ -390,36 +459,51 @@ object Extras {
         |  JOIN region ON n_regionkey = r_regionkey),
         |s AS (
         |  SELECT *,
-        |    CASE WHEN 2 * levenshtein(p1, a1) <= least(len(p1), len(a1))
-        |      THEN CAST(levenshtein(p1, a1) AS DOUBLE) ELSE 1e9 END AS s11,
+        |    CASE WHEN 2 * levenshtein(p1, a1en) <= least(len(p1), len(a1en))
+        |      THEN CAST(levenshtein(p1, a1en) AS DOUBLE) ELSE 1e9 END AS s11a,
+        |    CASE WHEN 2 * levenshtein(p1, a1de) <= least(len(p1), len(a1de))
+        |      THEN CAST(levenshtein(p1, a1de) AS DOUBLE) ELSE 1e9 END AS s11b,
         |    CASE WHEN 2 * levenshtein(p1, a2) <= least(len(p1), len(a2))
         |      THEN CAST(levenshtein(p1, a2) AS DOUBLE) ELSE 1e9 END AS s12,
         |    1e9 AS s13,
-        |    CASE WHEN 2 * levenshtein(p2, a1) <= least(len(p2), len(a1))
-        |      THEN CAST(levenshtein(p2, a1) AS DOUBLE) ELSE 1e9 END AS s21,
+        |    CASE WHEN 2 * levenshtein(p2, a1en) <= least(len(p2), len(a1en))
+        |      THEN CAST(levenshtein(p2, a1en) AS DOUBLE) ELSE 1e9 END AS s21a,
+        |    CASE WHEN 2 * levenshtein(p2, a1de) <= least(len(p2), len(a1de))
+        |      THEN CAST(levenshtein(p2, a1de) AS DOUBLE) ELSE 1e9 END AS s21b,
         |    CASE WHEN 2 * levenshtein(p2, a2) <= least(len(p2), len(a2))
         |      THEN CAST(levenshtein(p2, a2) AS DOUBLE) ELSE 1e9 END AS s22,
         |    CASE WHEN 2 * levenshtein(p2, a3) <= least(len(p2), len(a3))
         |      THEN CAST(levenshtein(p2, a3) AS DOUBLE) ELSE 1e9 END AS s23,
-        |    CASE WHEN 2 * levenshtein(p3, a1) <= least(len(p3), len(a1))
-        |      THEN CAST(levenshtein(p3, a1) AS DOUBLE) ELSE 1e9 END AS s31,
+        |    CASE WHEN 2 * levenshtein(p3, a1en) <= least(len(p3), len(a1en))
+        |      THEN CAST(levenshtein(p3, a1en) AS DOUBLE) ELSE 1e9 END AS s31a,
+        |    CASE WHEN 2 * levenshtein(p3, a1de) <= least(len(p3), len(a1de))
+        |      THEN CAST(levenshtein(p3, a1de) AS DOUBLE) ELSE 1e9 END AS s31b,
         |    CASE WHEN 2 * levenshtein(p3, a2) <= least(len(p3), len(a2))
         |      THEN CAST(levenshtein(p3, a2) AS DOUBLE) ELSE 1e9 END AS s32,
         |    1e9 AS s33
         |  FROM base),
+        |sl AS (
+        |  SELECT *,
+        |    least(s11a, s11b) AS s11, CASE WHEN s11a <= s11b THEN 1 ELSE 2 END AS l11,
+        |    least(s21a, s21b) AS s21, CASE WHEN s21a <= s21b THEN 1 ELSE 2 END AS l21,
+        |    least(s31a, s31b) AS s31, CASE WHEN s31a <= s31b THEN 1 ELSE 2 END AS l31
+        |  FROM s),
         |t1 AS (
         |  SELECT *, least(s11, s12, s13) AS m1,
         |    CASE WHEN s11 = least(s11, s12, s13) THEN 1
         |         WHEN s12 = least(s11, s12, s13) THEN 2 ELSE 3 END AS i1,
         |    least(s11, s12, s13) < 1e9 AS ok1
-        |  FROM s),
+        |  FROM sl),
         |u1 AS (
         |  SELECT *,
         |    CASE WHEN ok1 THEN 1 ELSE 0 END AS tok1,
         |    CASE WHEN ok1 THEN 1 << (i1 - 1) ELSE 0 END AS am1,
         |    CASE WHEN ok1 THEN m1
         |      - (CASE WHEN i1 = 1 THEN pop1 ELSE 0 END) * 2.0 / 10000000.0
-        |      ELSE 0.0 END AS d1
+        |      ELSE 0.0 END AS d1,
+        |    CASE WHEN ok1 THEN (CASE WHEN i1 = 1 THEN l11 ELSE 1 END)
+        |      * (CASE i1 WHEN 1 THEN 1 WHEN 2 THEN 16 ELSE 256 END)
+        |      ELSE 0 END AS al1
         |  FROM t1),
         |t2 AS (
         |  SELECT *, least(s21, s22, s23) AS m2,
@@ -433,7 +517,13 @@ object Extras {
         |    am1 | CASE WHEN ok2 THEN 1 << (i2 - 1) ELSE 0 END AS am2,
         |    d1 + CASE WHEN ok2 THEN m2
         |      - (CASE WHEN i2 = 1 THEN pop1 ELSE 0 END) * 2.0 / 10000000.0
-        |      ELSE 0.0 END AS d2
+        |      ELSE 0.0 END AS d2,
+        |    CASE WHEN ok2 THEN al1
+        |      - ((al1 // (CASE i2 WHEN 1 THEN 1 WHEN 2 THEN 16 ELSE 256 END)) % 16)
+        |        * (CASE i2 WHEN 1 THEN 1 WHEN 2 THEN 16 ELSE 256 END)
+        |      + (CASE WHEN i2 = 1 THEN l21 ELSE 1 END)
+        |        * (CASE i2 WHEN 1 THEN 1 WHEN 2 THEN 16 ELSE 256 END)
+        |      ELSE al1 END AS al2
         |  FROM t2),
         |t3 AS (
         |  SELECT *, least(s31, s32, s33) AS m3,
@@ -447,11 +537,18 @@ object Extras {
         |    am2 | CASE WHEN ok3 THEN 1 << (i3 - 1) ELSE 0 END AS am3,
         |    d2 + CASE WHEN ok3 THEN m3
         |      - (CASE WHEN i3 = 1 THEN pop1 ELSE 0 END) * 2.0 / 10000000.0
-        |      ELSE 0.0 END AS d3
+        |      ELSE 0.0 END AS d3,
+        |    CASE WHEN ok3 THEN al2
+        |      - ((al2 // (CASE i3 WHEN 1 THEN 1 WHEN 2 THEN 16 ELSE 256 END)) % 16)
+        |        * (CASE i3 WHEN 1 THEN 1 WHEN 2 THEN 16 ELSE 256 END)
+        |      + (CASE WHEN i3 = 1 THEN l31 ELSE 1 END)
+        |        * (CASE i3 WHEN 1 THEN 1 WHEN 2 THEN 16 ELSE 256 END)
+        |      ELSE al2 END AS al3
         |  FROM t3)
         |SELECT qid, CAST(tok3 AS BIGINT) AS matched_tokens_mask,
         |  CAST(am3 AS BIGINT) AS matched_areas_mask,
-        |  round(d3, 4) AS areas_dist
+        |  round(d3, 4) AS areas_dist,
+        |  CAST(al3 AS BIGINT) AS matched_area_langs
         |FROM u3""".stripMargin,
     "q36_format_address" ->
       """SELECT s_suppkey,

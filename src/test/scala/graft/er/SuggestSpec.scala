@@ -14,7 +14,12 @@ import graft.functions.SparkTestSession
   *  - extract_and_suggest_cyrillic (:73-89): village "Индже войвода"
   *    is top-1 for its own name
   */
-case class Area(name: String, level: Int, pop: Long)
+case class AreaName(name: String, lang: String)
+case class Area(names: Seq[AreaName], level: Int, pop: Long)
+object Area { // single-language convenience (the pre-multilang fixture shape)
+  def apply(name: String, level: Int, pop: Long): Area =
+    Area(Seq(AreaName(name, "default")), level, pop)
+}
 case class Ent(entity_id: Long, name: String, kind: String, category: String,
     population: Long, name_lang: String, location: Long,
     areas: Seq[Area], house_numbers: Seq[String])
@@ -23,9 +28,11 @@ class SuggestSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def run(queries: Seq[(Long, String)], ents: Seq[Ent]) =
+  private def run(queries: Seq[(Long, String)], ents: Seq[Ent],
+      userLangs: Seq[String] = Seq("default")) =
     Suggest.suggest(
-      queries.toDF("query_id", "text"), ents.toDS().toDF())
+      queries.toDF("query_id", "text"), ents.toDS().toDF(),
+      userLangs = userLangs)
       .orderBy($"query_id", $"rank").collect()
 
   test("cyrillic exact match is the top candidate (cyrillic_test.cc:27-43)") {
@@ -76,6 +83,44 @@ class SuggestSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "no suggestions returned")
     assert(rows.head.getAs[String]("name") == "Darmstadt Hauptbahnhof",
       s"alternate not matched: ${rows.toSeq}")
+  }
+
+  test("bilingual area: the query matches through the user's second " +
+      "language and the winning lang nibble is recorded (get_suggestions" +
+      ".cc:88-104, guess_context.h:43-46)") {
+    // entity 50's area is named "пловдивско" in the default language but
+    // exactly "пловдив" in German; entity 51's area is "софия" in both.
+    // A query mentioning "пловдив" must (a) match 50's area THROUGH the
+    // de name (cross-language min) → lang nibble 2, and (b) rank 50 above
+    // the identically-named street with the wrong area.
+    val ents = Seq(
+      Ent(50, "Лилава улица", "street", "", 0, "default", 50,
+        Seq(Area(Seq(AreaName("пловдивско", "default"),
+          AreaName("пловдив", "de")), 4, 300000)), Nil),
+      Ent(51, "Лилава улица", "street", "", 0, "default", 51,
+        Seq(Area(Seq(AreaName("софия", "default"),
+          AreaName("софия", "de")), 4, 1200000)), Nil))
+    val rows = run(Seq((1L, "Лилава улица пловдив")), ents,
+      userLangs = Seq("default", "de"))
+    assert(rows.nonEmpty, "no suggestions returned")
+    val top = rows.head
+    assert(top.getAs[Long]("entity_id") == 50L,
+      s"cross-language area evidence ignored: ${rows.toSeq}")
+    assert(top.getAs[Long]("area_langs") == 2L,
+      s"winning language nibble must be 2 (de): $top")
+  }
+
+  test("bilingual area tie: equal scores across languages pick the FIRST " +
+      "user language (activate_areas' strict `<` update)") {
+    val ents = Seq(
+      Ent(60, "Лилава улица", "street", "", 0, "default", 60,
+        Seq(Area(Seq(AreaName("бургас", "default"),
+          AreaName("бургас", "de")), 4, 400000)), Nil))
+    val rows = run(Seq((1L, "Лилава улица бургас")), ents,
+      userLangs = Seq("default", "de"))
+    assert(rows.nonEmpty, "no suggestions returned")
+    assert(rows.head.getAs[Long]("area_langs") == 1L,
+      s"tie must resolve to the first user language: ${rows.head}")
   }
 
   test("greedy area evidence lowers the score of the contextual entity") {
