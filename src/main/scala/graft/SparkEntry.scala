@@ -124,7 +124,15 @@ object SparkEntry {
     // §2.10 subset-reuse cache (cache.h:52-108) as a batch identity:
     // prefix counts (the cached vector) + delta-gram postings only; the
     // oracle recomputes full-query counts from scratch
-    "q44_subset_cache" -> (SubsetCache.q44SubsetCache _)
+    "q44_subset_cache" -> (SubsetCache.q44SubsetCache _),
+    // the full for_each_name ingestion shape: 5 base tags + the four
+    // :<lang> prefix families, ;-split multi-values, dynamic language
+    // interning to dense ids (typeahead.cc:41-77)
+    "q51_for_each_name" -> (Ingest.q51ForEachName _),
+    // reverse lookup against street POLYLINES: cell-join candidates +
+    // exact clamped-projection distance kernel + per-probe top-n
+    // (reverse.cc:94-126, geo::distance_to_polyline)
+    "q52_reverse_streets" -> (ReverseGeo.q52ReverseStreets _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +145,6 @@ object SparkEntry {
       (TextOps.oracles - "q15_metaphone" - "q16_match_score") ++
       Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles ++
       Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles ++
-      SubsetCache.oracles ++ UrlOps.oracles ++ LinkGraph.oracles
+      SubsetCache.oracles ++ UrlOps.oracles ++ LinkGraph.oracles ++
+      Ingest.oracles ++ ReverseGeo.oracles
 }

@@ -345,7 +345,73 @@ case class PointInRing(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "point_in_ring"
 }
 
+/** Exact point-to-polyline squared distance + closest point (reference
+  * reverse.cc:99-110, geo::distance_to_polyline: street hits are scored by
+  * distance to the SEGMENT POLYLINE, not to a representative point).
+  * Returns array<double>[3] = (min squared degree-distance, closest x,
+  * closest y); min over segments is strict `<` — the first segment wins
+  * ties, matching the unrolled oracle's CASE order. Same codegen-kernel
+  * pattern as [[PointInRing]] (HOF lambdas are interpreted per row — far
+  * too slow on a cell-join candidate stream). */
+case class PolylineDist2(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    first.dataType match {
+      case ArrayType(s: StructType, _)
+          if s.fields.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+            second.dataType == DoubleType && third.dataType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<struct<double,double>>, double, double), got " +
+            Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))
+    }
+  override def nullSafeEval(l: Any, x: Any, y: Any): Any =
+    ExprKernels.polylineDist2(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, x, y) =>
+      s"graft.functions.ExprKernels.polylineDist2($l, $x, $y)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PolylineDist2 =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "polyline_dist2"
+}
+
 object ExprKernels {
+  /** Point-to-polyline kernel; per segment the clamped projection, then
+    * strict-< min — every double op in the same association as the
+    * unrolled oracle SQL, so the hash check is exact. */
+  def polylineDist2(line: org.apache.spark.sql.catalyst.util.ArrayData,
+      px: Double, py: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = line.numElements()
+    var bestD2 = Double.MaxValue
+    var bestX = 0.0d
+    var bestY = 0.0d
+    var i = 0
+    while (i < n - 1) {
+      val a = line.getStruct(i, 2)
+      val b = line.getStruct(i + 1, 2)
+      val ax = a.getDouble(0); val ay = a.getDouble(1)
+      val bx = b.getDouble(0); val by = b.getDouble(1)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val t =
+        if (len2 == 0.0d) 0.0d // degenerate segment = its endpoint
+        else ((px - ax) * dx + (py - ay) * dy) / len2
+      val tc = if (t < 0.0d) 0.0d else if (t > 1.0d) 1.0d else t
+      val cx = ax + tc * dx; val cy = ay + tc * dy
+      val ddx = px - cx; val ddy = py - cy
+      val d2 = ddx * ddx + ddy * ddy
+      if (d2 < bestD2) { bestD2 = d2; bestX = cx; bestY = cy }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Double](bestD2, bestX, bestY))
+  }
+
   /** Crossing-number kernel; arithmetic order matches the unrolled oracle
     * SQL exactly (same double operations in the same association). */
   def crossingNumber(ring: org.apache.spark.sql.catalyst.util.ArrayData,

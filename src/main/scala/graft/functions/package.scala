@@ -74,6 +74,11 @@ package object functions {
   def point_in_ring(ring: Column, x: Column, y: Column): Column =
     col(PointInRing(ex(ring), ex(x), ex(y)))
 
+  /** exact point-to-polyline squared distance + closest point:
+    * array<double>[3] = (dist2, closest_x, closest_y). */
+  def polyline_dist2(line: Column, x: Column, y: Column): Column =
+    col(PolylineDist2(ex(line), ex(x), ex(y)))
+
   /** fused q25 hyperplane-LSH band values: array<float|double>[64] → array<int>[8]. */
   def lsh_band_vals(v: Column): Column = col(LshBandVals(ex(v)))
 

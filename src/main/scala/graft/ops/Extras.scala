@@ -68,8 +68,8 @@ object Extras {
     * neighbor cells, points probe one cell; exact squared-degree-distance
     * range predicate (IEEE-exact — no trig on the filter path) plus
     * haversine (X13) and distance-bias tiers (X10) as score columns. */
-  /** Deterministic synthetic coordinates shared by q34/q40. */
-  private def coords(df: DataFrame, key: String, idName: String): DataFrame =
+  /** Deterministic synthetic coordinates shared by q34/q40/q52. */
+  private[ops] def coords(df: DataFrame, key: String, idName: String): DataFrame =
     df.select(col(key).as(idName),
       ((col(key) * 7919) % 1000).cast("double").divide(100.0).minus(5.0).as("lat"),
       ((col(key) * 104729) % 1000).cast("double").divide(100.0).minus(5.0).as("lng"))
