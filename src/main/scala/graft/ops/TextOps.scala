@@ -138,18 +138,19 @@ object TextOps {
       "ell"),
     "pt" -> Seq("cao", "oes", "nao", "voc", "oce", "lho", "nha", "eir",
       "ira", "mos", "amo", "dos", "das", "ele", "seu", "sua", "sso", "bem",
-      "tem"),
+      "tem", "uem", "ond", "inh", "que"),
     "nl" -> Seq("het", "een", "nie", "iet", "aar", "ijn", "zij", "maa",
       "daa", "oor", "gee", "elk", "waa", "jke", "erl", "rla", "ken", "nen",
-      "ede"),
+      "ede", "van", "aan", "ond", "gaa", "uis", "ijk"),
     "sv" -> Seq("och", "att", "det", "som", "ett", "int", "nte", "til",
-      "ite", "kan", "ska", "ans", "fra", "lig", "iga", "nge", "ver", "sve"),
+      "ite", "kan", "ska", "ans", "fra", "lig", "iga", "nge", "ver", "sve",
+      "ade", "den", "gen", "all"),
     "pl" -> Seq("prz", "rze", "ego", "ych", "owa", "ani", "eni", "czy",
       "szy", "sze", "dzi", "iej", "ski", "pol", "ach", "owy"),
     "tr" -> Seq("bir", "lar", "ler", "dir", "mek", "mak", "yor", "iyo",
       "ile", "kad", "nda", "ini", "tur", "urk", "rki", "iye", "sin", "lik"),
     "ro" -> Seq("ulu", "lui", "cea", "ele", "rom", "oma", "ati", "tii",
-      "ntr", "tru", "pen", "dea", "ste", "ria", "uri"),
+      "ntr", "tru", "pen", "dea", "ste", "ria", "uri", "ara", "eni", "cat"),
     "id" -> Seq("ang", "yan", "men", "kan", "ada", "itu", "ter", "nya",
       "aka", "dan", "dal", "ind", "nes", "ora", "ran", "gan"))
 
@@ -158,9 +159,10 @@ object TextOps {
       "ова", "ква", "про", "ост", "ват", "ане", "кат", "ето", "ива", "тел",
       "раз", "нат"),
     "ru" -> Seq("что", "это", "ого", "его", "ств", "ать", "ить", "тся",
-      "етс", "льн", "ски", "рус", "осс", "жет"),
+      "етс", "льн", "ски", "рус", "осс", "жет", "кто", "тот", "дет", "ает",
+      "дом"),
     "uk" -> Seq("ння", "ної", "ськ", "цьк", "іст", "іна", "раі", "укр",
-      "ідн", "від", "іль", "ься"),
+      "ідн", "від", "іль", "ься", "ому", "іти", "ідо", "шли", "ніж"),
     "sr" -> Seq("ије", "јед", "ање", "ење", "има", "срб", "рби", "ући",
       "ашњ", "дин", "вањ", "ошт"))
 

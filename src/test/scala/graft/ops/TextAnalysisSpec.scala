@@ -83,6 +83,74 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"misclassified: ${wrong.map(r => s"${r.getLong(0)}:${r.getString(1)}->${r.getString(2)}").mkString(", ")}")
   }
 
+  /** Shorter, harder snippets (roughly tweet-length, heavy function-word
+    * overlap between es/pt, de/nl, ru/uk/bg/sr) — the regression canary:
+    * a profile edit that quietly breaks one language fails ITS row here,
+    * not an aggregate average that 23 healthy languages can hide. */
+  private val hardSamples = Seq(
+    ("en", "nobody knew where the children had gone that evening"),
+    ("en", "she would rather walk home than wait for the bus"),
+    ("de", "niemand wusste wohin die kinder an jenem abend gegangen waren"),
+    ("de", "sie würde lieber zu fuß nach hause gehen als warten"),
+    ("fr", "personne ne savait où les enfants étaient partis ce soir"),
+    ("fr", "elle préfère rentrer à pied plutôt que d'attendre le bus"),
+    ("es", "nadie sabía adónde habían ido los niños esa noche"),
+    ("es", "ella prefiere caminar a casa antes que esperar el autobús"),
+    ("pt", "ninguém sabia para onde as crianças tinham ido naquela noite"),
+    ("pt", "ela prefere caminhar para casa do que esperar o ônibus"),
+    ("it", "nessuno sapeva dove fossero andati i bambini quella sera"),
+    ("it", "lei preferisce tornare a casa a piedi che aspettare"),
+    ("nl", "niemand wist waar de kinderen die avond naartoe waren gegaan"),
+    ("nl", "zij loopt liever naar huis dan op de bus te wachten"),
+    ("sv", "ingen visste vart barnen hade tagit vägen den kvällen"),
+    ("sv", "hon går hellre hem än väntar på bussen"),
+    ("pl", "nikt nie wiedział dokąd poszły dzieci tamtego wieczoru"),
+    ("pl", "ona woli iść do domu pieszo niż czekać na autobus"),
+    ("tr", "o akşam çocukların nereye gittiğini kimse bilmiyordu"),
+    ("tr", "otobüsü beklemektense eve yürümeyi tercih ediyor"),
+    ("ro", "nimeni nu știa unde plecaseră copiii în acea seară"),
+    ("ro", "ea preferă să meargă acasă pe jos decât să aștepte"),
+    ("id", "tidak ada yang tahu ke mana anak anak pergi malam itu"),
+    ("id", "dia lebih suka berjalan pulang daripada menunggu bus"),
+    ("ru", "никто не знал куда ушли дети в тот вечер"),
+    ("ru", "она предпочитает идти домой пешком чем ждать автобус"),
+    ("uk", "ніхто не знав куди пішли діти того вечора"),
+    ("uk", "вона воліє йти додому пішки ніж чекати на автобус"),
+    ("bg", "никой не знаеше къде са отишли децата онази вечер"),
+    ("bg", "тя предпочита да върви пеша до вкъщи отколкото да чака"),
+    ("sr", "нико није знао куда су деца отишла те вечери"),
+    ("sr", "она више воли да пешачи кући него да чека аутобус"))
+
+  test("per-language accuracy floor: no profile edit may silently drop a " +
+      "language below threshold") {
+    val all = (samples.filter(_._1 != "xx") ++ hardSamples).zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, lang, text) }
+      .toDF("doc_id", "expected", "text")
+    val rows = TextOps.langIdOn(all.select($"doc_id", $"text"))
+      .join(all.select($"doc_id", $"expected"), Seq("doc_id"))
+      .select($"doc_id", $"expected", $"lang_pred").collect()
+    val wrongDetail = rows.filter(r => r.getString(1) != r.getString(2))
+      .map(r => s"${r.getLong(0)}:${r.getString(1)}->${r.getString(2)}")
+    info(s"misrouted samples: ${wrongDetail.mkString(", ")}")
+    val pred = rows.groupBy(_.getString(1)).map { case (lang, rs) =>
+      (lang, rs.count(r => r.getString(1) == r.getString(2)).toDouble / rs.length,
+        rs.length.toLong)
+    }.toArray
+    // every profile language must appear and clear the floor
+    val accByLang = pred.map(r => r._1 -> r._2).toMap
+    val floor = 0.5 // ≥ half of each language's samples, incl. the short ones
+    val failing = accByLang.filter(_._2 < floor)
+    assert(failing.isEmpty,
+      s"languages below the $floor accuracy floor: " +
+        failing.map { case (l, a) => f"$l=$a%.2f" }.mkString(", ") +
+        s"; misrouted: ${wrongDetail.mkString(", ")}")
+    // the long-prose rows alone stay perfect (covered by the exact test
+    // above); the short-sample union must stay ≥ 0.85 overall
+    val overall = pred.map(r => r._2 * r._3).sum / pred.map(_._3).sum
+    assert(overall >= 0.85, f"overall langid accuracy $overall%.3f < 0.85" +
+      s"; misrouted: ${wrongDetail.mkString(", ")}")
+  }
+
   test("repetition filter scores duplicated 5-grams and clean text apart") {
     val docs = Seq(
       // 10 tokens repeated 5x: a scraper-loop page — most 5-grams repeat

@@ -69,6 +69,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(newCount == batch.select($"string_id").distinct().count())
     // sink-time collision audit: no id claimed by two distinct keys
     assert(StreamOps.internIdCollisions(spark.table("intern_out")).isEmpty)
+    // and the loud guard passes on the clean table
+    StreamOps.assertNoInternCollisions(spark.table("intern_out"))
+  }
+
+  test("intern collision guard FAILS LOUD on cross-key id fusion") {
+    // A real xxhash64 collision needs ~2^32 keys to manufacture; the guard
+    // watches the SINK TABLE, so inject the fused rows directly — two
+    // distinct match keys carrying one string_id, exactly what a hash
+    // collision would write — plus healthy rows that must not trip it.
+    val fused = Seq(
+      (1L, 777L, "main street"), (2L, 777L, "maine street"), // collision
+      (3L, 5L, "ok one"), (4L, 5L, "ok one"), (5L, 9L, "ok two"))
+      .toDF("mention_id", "string_id", "match_key")
+    val e = intercept[IllegalStateException] {
+      StreamOps.assertNoInternCollisions(fused)
+    }
+    assert(e.getMessage.contains("777") &&
+      e.getMessage.contains("main street") &&
+      e.getMessage.contains("maine street"),
+      s"guard must name the fused id and keys: ${e.getMessage}")
+    // healthy subset passes
+    StreamOps.assertNoInternCollisions(
+      fused.filter($"string_id" =!= 777L))
   }
 
   test("streaming exact dedup equals batch q20 (keeper + copy counts)") {
