@@ -25,7 +25,9 @@ object TimeQuery {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         rows = fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        ops.Caches.releaseAll() // each rep re-persists its own frames
+        dt
       }
       println(f"[time] $name rows=$rows min=${times.min}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")
     }

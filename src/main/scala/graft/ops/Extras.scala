@@ -310,6 +310,11 @@ object Extras {
     val init = struct(initMask.cast("long").as("tok"), lit(0L).as("amask"),
       lit(0.0d).as("dist"), lit(0L).as("alang"))
     val NoMatch = 1e9d
+    // NOTE on shape: resolving each area's per-language name OUTSIDE the
+    // fold (a hoisted `transform(areas, …lnames…)`) was measured SLOWER
+    // (q38 1.2→1.9 s, q42 2.6→4.0 s at sf0.1): names arrays are 1-2
+    // entries, so the per-(phrase,area,lang) filter scan is cheaper than
+    // materializing an extra struct+array per row. Keep the lookup inline.
     val folded = aggregate(phrases, init, (acc, p) => {
       // F9 per-TOKEN numeric rule (normalize.h:192-206 via the phrase's
       // numeric_tokens_mask): every token must be majority-digits — the
@@ -322,7 +327,7 @@ object Extras {
         // best score across the user's languages; areas without a name in
         // a language simply don't compete in it (find_lang < 0 skip)
         val langScored = transform(sequence(lit(1), size(langs)), li => {
-          val nm = try_element_at( // empty filter result = lang absent (find_lang < 0)
+          val nm = try_element_at( // empty filter result = lang absent
             filter(a("names"), x => x("lang") === element_at(langs, li)), lit(1))
           val lev = levenshtein(p("s"), nm("name"))
           val ok = nm.isNotNull &&
