@@ -291,8 +291,16 @@ object Suggest {
         Window.partitionBy(col("query_id")).orderBy(
           col("is_duplicate").asc, col("score").asc, col("entity_id"))))
       .filter(col("rank") <= topN)
+      // score_fp: fixed-point 1e-4 units via floor(x·1e4 + 0.5) — the two
+      // engines compute bit-identical DOUBLES here (mirrored expression
+      // trees), but their round() modes differ (Spark rounds the decimal
+      // rendering HALF_UP, DuckDB rounds the binary value), and this
+      // score is SYSTEMATICALLY decimal-half-way prone (the pop bonuses
+      // are k/1e7 and k/2e5 — exact 5th-decimal .5s). floor of the same
+      // double is deterministic in any engine; same rule as q29/q49.
       .select(col("query_id"), col("rank"), col("entity_id"), col("kind"),
-        col("name"), round(col("score"), 4).as("score"),
+        col("name"),
+        floor(col("score") * 10000 + 0.5).cast("long").as("score_fp"),
         col("is_duplicate"), col("matched_hn"), col("area_langs"))
   }
 
@@ -532,7 +540,8 @@ object Suggest {
         |      ORDER BY is_duplicate ASC, score ASC, entity_id ASC) AS INT) AS rank
         |  FROM marked)
         |SELECT query_id, rank, entity_id, kind, name,
-        |  round(score, 4) AS score, is_duplicate, matched_hn, area_langs
+        |  CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_fp,
+        |  is_duplicate, matched_hn, area_langs
         |FROM ranked WHERE rank <= 10""".stripMargin
   )
 }

@@ -409,10 +409,14 @@ object Extras {
         lit(12).as("level"), lit(0L).as("pop")))
     val res = greedyAreaAssemblyML(phrases, areas,
       array(lit("en"), lit("de")), lit(0L))
+    // fixed-point 1e-4 units (same rationale as q42's score_fp: the pop
+    // bonus k·2/1e7 makes the dist decimal-half-way prone, and Spark's
+    // decimal HALF_UP round() diverges from DuckDB's binary round there;
+    // floor of the bit-identical double is engine-independent)
     joined.select(col("c_custkey").as("qid"),
       res("tok").as("matched_tokens_mask"),
       res("amask").as("matched_areas_mask"),
-      round(res("dist"), 4).as("areas_dist"),
+      floor(res("dist") * 10000 + 0.5).cast("long").as("areas_dist_fp"),
       res("alang").as("matched_area_langs"))
   }
 
@@ -552,7 +556,7 @@ object Extras {
         |  FROM t3)
         |SELECT qid, CAST(tok3 AS BIGINT) AS matched_tokens_mask,
         |  CAST(am3 AS BIGINT) AS matched_areas_mask,
-        |  round(d3, 4) AS areas_dist,
+        |  CAST(floor(d3 * 10000 + 0.5) AS BIGINT) AS areas_dist_fp,
         |  CAST(al3 AS BIGINT) AS matched_area_langs
         |FROM u3""".stripMargin,
     "q36_format_address" ->
