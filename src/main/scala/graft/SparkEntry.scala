@@ -132,7 +132,10 @@ object SparkEntry {
     // reverse lookup against street POLYLINES: cell-join candidates +
     // exact clamped-projection distance kernel + per-probe top-n
     // (reverse.cc:94-126, geo::distance_to_polyline)
-    "q52_reverse_streets" -> (ReverseGeo.q52ReverseStreets _)
+    "q52_reverse_streets" -> (ReverseGeo.q52ReverseStreets _),
+    // deterministic hash-stratified sampling — the training-data mixing
+    // primitive (map-side predicate, reproducible across runs/engines)
+    "q53_stratified_sample" -> (Sampling.q53StratifiedSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,5 +149,5 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles ++
       Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles ++
       SubsetCache.oracles ++ UrlOps.oracles ++ LinkGraph.oracles ++
-      Ingest.oracles ++ ReverseGeo.oracles
+      Ingest.oracles ++ ReverseGeo.oracles ++ Sampling.oracles
 }

@@ -157,6 +157,33 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.filter(col("inside") =!= col("expected")).isEmpty)
   }
 
+  test("polyline_dist2: interior projection, endpoint clamp, first-segment " +
+      "tie, degenerate segment") {
+    import spark.implicits._
+    // L-shaped polyline (0,0)->(4,0)->(4,4)
+    val line = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0))
+    val df = Seq(
+      (2.0, 1.0, 1.0, 2.0, 0.0),   // interior of segment 1: closest (2,0)
+      (-1.0, -1.0, 2.0, 0.0, 0.0), // clamp to start vertex (0,0)
+      (5.0, 5.0, 2.0, 4.0, 4.0),   // clamp to end vertex (4,4)
+      (4.0, 0.0, 0.0, 4.0, 0.0))   // ON the shared vertex: d2=0, both
+                                   // segments tie -> FIRST segment's point
+      .toDF("px", "py", "d2e", "cxe", "cye")
+      .withColumn("line", typedLit(line.map { case (x, y) => (x, y) })
+        .cast("array<struct<x:double,y:double>>"))
+      .withColumn("r", gf.polyline_dist2(col("line"), col("px"), col("py")))
+    val bad = df.filter(col("r").getItem(0) =!= col("d2e") ||
+      col("r").getItem(1) =!= col("cxe") || col("r").getItem(2) =!= col("cye"))
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+    // degenerate single-point segment: distance to that point
+    val deg = Seq((3.0, 4.0)).toDF("px", "py")
+      .withColumn("line", typedLit(Seq((0.0, 0.0), (0.0, 0.0)))
+        .cast("array<struct<x:double,y:double>>"))
+      .select(gf.polyline_dist2(col("line"), col("px"), col("py")).getItem(0))
+      .collect()(0).getDouble(0)
+    assert(deg == 25.0, s"degenerate segment dist2 $deg != 25.0")
+  }
+
   test("GraftExtensions injects SQL functions") {
     // extensions resolve from the SparkContext static conf at session
     // build, which a shared-context test can't exercise; apply the
