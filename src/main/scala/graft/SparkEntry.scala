@@ -135,7 +135,10 @@ object SparkEntry {
     "q52_reverse_streets" -> (ReverseGeo.q52ReverseStreets _),
     // deterministic hash-stratified sampling — the training-data mixing
     // primitive (map-side predicate, reproducible across runs/engines)
-    "q53_stratified_sample" -> (Sampling.q53StratifiedSample _)
+    "q53_stratified_sample" -> (Sampling.q53StratifiedSample _),
+    // BM25 salient-term extraction: partial-agg tf, df/dl rollups,
+    // broadcast scalar attach, per-doc WindowGroupLimit top-3
+    "q54_bm25" -> (Bm25.q54Bm25 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +152,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Components.oracles ++ Extras.oracles ++
       Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles ++
       SubsetCache.oracles ++ UrlOps.oracles ++ LinkGraph.oracles ++
-      Ingest.oracles ++ ReverseGeo.oracles ++ Sampling.oracles
+      Ingest.oracles ++ ReverseGeo.oracles ++ Sampling.oracles ++
+      Bm25.oracles
 }
