@@ -138,7 +138,10 @@ object SparkEntry {
     "q53_stratified_sample" -> (Sampling.q53StratifiedSample _),
     // BM25 salient-term extraction: partial-agg tf, df/dl rollups,
     // broadcast scalar attach, per-doc WindowGroupLimit top-3
-    "q54_bm25" -> (Bm25.q54Bm25 _)
+    "q54_bm25" -> (Bm25.q54Bm25 _),
+    // end-to-end near-dup lifecycle: LSH candidates -> exact-Jaccard
+    // verify -> transitive closure -> keep/drop manifest
+    "q55_dedup_lifecycle" -> (Dedup.q55DedupLifecycle _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

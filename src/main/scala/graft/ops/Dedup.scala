@@ -224,6 +224,27 @@ object Dedup {
       .select(col("src"), col("dst"), col("cosine"))
   }
 
+  /** q55: the END-TO-END near-dup dedup lifecycle a production pipeline
+    * actually runs — banded MinHash candidates (q22's exact shape) →
+    * exact-Jaccard verification rescore ([[verifyJaccard]], threshold
+    * 0.4) → transitive closure over the surviving pairs
+    * ([[Components.connectedComponents]]) → canonical-document pick
+    * (component label = min member id = the keeper; everything else is
+    * marked duplicate). Output is one row per document, so the result
+    * doubles as the pipeline's keep/drop manifest. Every stage is the
+    * already-audited scale shape (capped band buckets, pair-local
+    * rescore, edge-induced clustering loop); the composition adds no new
+    * exchange beyond its parts. */
+  def q55DedupLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val verified = verifyJaccard(docs, q22LshPairs(spark, dir), 0.4)
+    val labels = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      verified.select(col("src"), col("dst")))
+    labels.select(col("id").as("doc_id"), col("label").as("keeper"),
+      (col("id") =!= col("label")).as("is_duplicate"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" ->
       """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keeper,
@@ -259,6 +280,51 @@ object Dedup {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
         |JOIN kept k ON k.band = a.band AND k.band_sig = a.band_sig""".stripMargin,
+    // full lifecycle: q22's banding CTEs + exact-Jaccard verify over
+    // distinct shingle sets + recursive transitive closure + keeper pick
+    "q55_dedup_lifecycle" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) i
+        |  WHERE len(t) >= 3),
+        |sig AS (
+        |  SELECT doc_id, CAST(h AS INT) AS h, min(md5(shingle || ':' || h)) AS minhash
+        |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) h
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, h // 2 AS band, min(minhash) || '|' || max(minhash) AS band_sig
+        |  FROM sig GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT band, band_sig FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 256),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |  JOIN kept k ON k.band = a.band AND k.band_sig = a.band_sig),
+        |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |n AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT p.src, p.dst, count(*) AS i
+        |  FROM pairs p JOIN dsh a ON a.doc_id = p.src
+        |  JOIN dsh b ON b.doc_id = p.dst AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT i.src, i.dst
+        |  FROM inter i JOIN n na ON na.doc_id = i.src
+        |  JOIN n nb ON nb.doc_id = i.dst
+        |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.4),
+        |undirected AS (
+        |  SELECT src AS a, dst AS b FROM verified
+        |  UNION ALL SELECT dst AS a, src AS b FROM verified),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.b, r.lab FROM reach r JOIN undirected u ON u.a = r.id)
+        |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS keeper,
+        |  min(lab) <> id AS is_duplicate
+        |FROM reach GROUP BY id""".stripMargin,
     "q24_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS hx
