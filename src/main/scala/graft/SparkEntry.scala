@@ -141,7 +141,10 @@ object SparkEntry {
     "q54_bm25" -> (Bm25.q54Bm25 _),
     // end-to-end near-dup lifecycle: LSH candidates -> exact-Jaccard
     // verify -> transitive closure -> keep/drop manifest
-    "q55_dedup_lifecycle" -> (Dedup.q55DedupLifecycle _)
+    "q55_dedup_lifecycle" -> (Dedup.q55DedupLifecycle _),
+    // multimodal audio column: WAV/RIFF header decode from bytes alone +
+    // exact integer duration algebra (q32's image companion)
+    "q56_audio_meta" -> (TextOps.q56AudioMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -328,6 +328,71 @@ object TextOps {
         .as("height"))
   }
 
+  /** q56: audio companion to q32 — a fully-valid WAV (RIFF) header is
+    * synthesized per document as BYTES (LE u16/u32 fields: channels,
+    * sample rate, byte rate, block align, bits/sample, data size), and
+    * the decoder recovers every field plus the derived duration from the
+    * payload bytes alone; the oracle reconstructs the same fields
+    * arithmetically from the source columns and never parses bytes. Full
+    * sample decode / frame-sampling needs audio libs absent from this
+    * sandbox; the header parse and the duration algebra (integer floor
+    * division — exact in any engine) are the real, tested part of the
+    * ingest path. */
+  def q56AudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents").withColumn("h", md5(col("text")))
+    def hexVal(i: Int): Column =
+      expr(s"locate(substring(h, $i, 1), '0123456789abcdef') - 1")
+    // ground truth for the synthesizer only (division-free: Column `/`
+    // on longs is DOUBLE division in Spark)
+    val chT = (hexVal(1) % 2 + 1).cast("long") // 1..2
+    val rateT = when(hexVal(2) % 4 === 0, 8000L).when(hexVal(2) % 4 === 1, 16000L)
+      .when(hexVal(2) % 4 === 2, 44100L).otherwise(48000L)
+    val bytesPerSample = (hexVal(3) % 2 + 1).cast("long") // 1 | 2
+    val bitsT = bytesPerSample * 8L
+    val nSamp = (hexVal(4) * 16 + hexVal(5) + 1).cast("long") // 1..256
+    val blockT = chT * bytesPerSample
+    val dataT = nSamp * blockT
+    val byteRateT = rateT * blockT
+    def le(v: Column, bytes: Int): Column = { // little-endian hex
+      val bs = (0 until bytes).map { i =>
+        val divisor = math.pow(256, i).toLong
+        // values < 2^52 so the double division is exact; cast truncates
+        val byteV = ((v / lit(divisor)).cast("long")) % 256L
+        lpad(hex(byteV), 2, "0")
+      }
+      concat(bs: _*)
+    }
+    val payloadHex = concat(
+      lit("52494646"), le(lit(36L) + dataT, 4), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"),            // fmt, len 16, PCM
+      le(chT, 2), le(rateT, 4), le(byteRateT, 4), le(blockT, 2), le(bitsT, 2),
+      lit("64617461"), le(dataT, 4))                            // data chunk
+    val withPayload = d.withColumn("payload", unhex(payloadHex))
+      .select(col("doc_id"), col("payload"))
+    // ---- the decoder: payload bytes -> fields (byte i = hex chars 2i-1..2i)
+    val ph = upper(hex(col("payload")))
+    def hexAt(pos: Int, nChars: Int): Column =
+      conv(substring(ph, pos, nChars), 16, 10).cast("long")
+    val isWav = substring(ph, 1, 8) === "52494646" &&
+      substring(ph, 17, 8) === "57415645"
+    val channels = hexAt(45, 2) + hexAt(47, 2) * 256
+    val rate = hexAt(49, 2) + hexAt(51, 2) * 256 +
+      hexAt(53, 2) * 65536 + hexAt(55, 2) * 16777216
+    val bits = hexAt(69, 2) + hexAt(71, 2) * 256
+    val dataBytes = hexAt(81, 2) + hexAt(83, 2) * 256 +
+      hexAt(85, 2) * 65536 + hexAt(87, 2) * 16777216
+    withPayload.select(col("doc_id"),
+        when(isWav, "wav").otherwise("unknown").as("fmt"),
+        when(isWav, channels).as("channels"),
+        when(isWav, rate).as("sample_rate"),
+        when(isWav, bits).as("bits"),
+        when(isWav, dataBytes).as("data_bytes"))
+      // integer floor division (exact in any engine); null-propagates on
+      // non-wav rows
+      .withColumn("duration_ms", expr(
+        "data_bytes * 1000 div (sample_rate * channels * (bits div 8))"))
+  }
+
   /** HTML ingestion for the input_hint's `html: binary` page column: each
     * document is wrapped in a full synthetic page — head title, a
     * `<script>` whose BODY contains `<`, `&&`, quotes and a fake close
@@ -603,6 +668,28 @@ object TextOps {
         |        i -> CAST(ascii(substr(lower(text), CAST(i AS INT), 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+    // q56 oracle: every field reconstructed arithmetically from md5(text)
+    // — it never parses bytes, so it cross-checks the RIFF decode
+    "q56_audio_meta" ->
+      """WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 2 + 1 AS ch,
+        |    CASE (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 4
+        |      WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 44100 ELSE 48000 END AS rate,
+        |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 2 + 1 AS bps,
+        |    (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) + 1 AS nsamp
+        |  FROM g)
+        |SELECT doc_id, 'wav' AS fmt,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(bps * 8 AS BIGINT) AS bits,
+        |  CAST(nsamp * ch * bps AS BIGINT) AS data_bytes,
+        |  CAST((nsamp * ch * bps * 1000) // (rate * ch * bps) AS BIGINT)
+        |    AS duration_ms
+        |FROM v""".stripMargin,
     "q32_media_meta" ->
       """WITH d AS (
         |  SELECT doc_id,
