@@ -144,7 +144,10 @@ object SparkEntry {
     "q55_dedup_lifecycle" -> (Dedup.q55DedupLifecycle _),
     // multimodal audio column: WAV/RIFF header decode from bytes alone +
     // exact integer duration algebra (q32's image companion)
-    "q56_audio_meta" -> (TextOps.q56AudioMeta _)
+    "q56_audio_meta" -> (TextOps.q56AudioMeta _),
+    // multimodal video column: MP4 ftyp/mvhd box decode from bytes +
+    // timescale algebra + frame-sample stub (completes image/audio/video)
+    "q57_video_meta" -> (TextOps.q57VideoMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

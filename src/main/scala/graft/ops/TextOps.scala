@@ -393,6 +393,60 @@ object TextOps {
         "data_bytes * 1000 div (sample_rate * channels * (bits div 8))"))
   }
 
+  /** q57: video companion to q32/q56 — a valid MP4 `ftyp` + `moov/mvhd`
+    * box pair is synthesized per document as BYTES (u32 BE box sizes,
+    * version-0 mvhd with timescale + duration), and brand / timescale /
+    * duration units / derived duration_ms / a deterministic
+    * frame-sample count are recovered from the payload bytes alone (box
+    * scan via marker locate, exactly q32's SOF0 approach). Full frame
+    * decode needs codec libs absent from this sandbox; the box parse,
+    * the timescale algebra (integer floor division, engine-exact) and
+    * the sample-count rule are the real, tested ingest path. */
+  def q57VideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents").withColumn("h", md5(col("text")))
+    def hexVal(i: Int): Column =
+      expr(s"locate(substring(h, $i, 1), '0123456789abcdef') - 1")
+    def beHex(v: Column, bytes: Int): Column = lpad(hex(v), bytes * 2, "0")
+    // ground truth for the synthesizer only
+    val tsT = when(hexVal(1) % 4 === 0, 600L).when(hexVal(1) % 4 === 1, 1000L)
+      .when(hexVal(1) % 4 === 2, 90000L).otherwise(24000L)
+    val durUnitsT = ((hexVal(2) * 256 + hexVal(3) * 16 + hexVal(4) + 1) *
+      lit(37L)).cast("long") // 37..~152k units
+    val mvhdHex = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      beHex(tsT, 4), beHex(durUnitsT, 4),
+      lit("00010000" + "0100" + "0000" + "0000000000000000" +
+        "0001000000000000000000000000000000010000000000000000000000000000" +
+        "40000000" + "000000000000000000000000000000000000000000000000" +
+        "00000002"))
+    val payloadHex = concat(
+      lit("00000014" + "66747970" + "69736F6D" + "00000200" + "6D703431"),
+      lit("00000074" + "6D6F6F76"), mvhdHex) // moov size 8+108=116=0x74
+    val withPayload = d.withColumn("payload", unhex(payloadHex))
+      .select(col("doc_id"), col("payload"))
+    // ---- the decoder: payload bytes -> fields
+    val ph = upper(hex(col("payload")))
+    def hexAtC(pos: Column, nChars: Int): Column =
+      conv(substring(ph, pos, lit(nChars)), 16, 10).cast("long")
+    val isMp4 = substring(ph, 9, 8) === "66747970"
+    val isIsom = substring(ph, 17, 8) === "69736F6D"
+    val mvhd = locate("6D766864", ph) // box-type scan (q32's marker style)
+    val timescale = hexAtC(mvhd + 32, 8) // 16 bytes after the type tag
+    val durUnits = hexAtC(mvhd + 40, 8)
+    withPayload.select(col("doc_id"),
+        when(isMp4 && isIsom, "mp4/isom").when(isMp4, "mp4")
+          .otherwise("unknown").as("fmt"),
+        when(isMp4, timescale).as("timescale"),
+        when(isMp4, durUnits).as("duration_units"))
+      .withColumn("duration_ms",
+        expr("duration_units * 1000 div timescale"))
+      // frame-sample stub: up to 8 uniformly-spaced probe points, one per
+      // started half second — the Spark-side plumbing of a sampler whose
+      // actual decode would run behind it
+      .withColumn("n_sample_frames",
+        expr("least(8, duration_ms div 500 + 1)"))
+  }
+
   /** HTML ingestion for the input_hint's `html: binary` page column: each
     * document is wrapped in a full synthetic page — head title, a
     * `<script>` whose BODY contains `<`, `&&`, quotes and a fake close
@@ -689,6 +743,26 @@ object TextOps {
         |  CAST(nsamp * ch * bps AS BIGINT) AS data_bytes,
         |  CAST((nsamp * ch * bps * 1000) // (rate * ch * bps) AS BIGINT)
         |    AS duration_ms
+        |FROM v""".stripMargin,
+    // q57 oracle: fields reconstructed arithmetically from md5(text) —
+    // never parses bytes, so it cross-checks the MP4 box decode
+    "q57_video_meta" ->
+      """WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 4
+        |      WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      WHEN 2 THEN 90000 ELSE 24000 END AS ts,
+        |    ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) + 1) * 37 AS du
+        |  FROM g)
+        |SELECT doc_id, 'mp4/isom' AS fmt,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(du AS BIGINT) AS duration_units,
+        |  CAST((du * 1000) // ts AS BIGINT) AS duration_ms,
+        |  CAST(least(8, (du * 1000) // ts // 500 + 1) AS BIGINT)
+        |    AS n_sample_frames
         |FROM v""".stripMargin,
     "q32_media_meta" ->
       """WITH d AS (
