@@ -777,6 +777,159 @@ object ExprKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(c)
   }
 
+  private val AreaNoMatch = 1e9d
+
+  /** Per-token numeric rule of the area fold (reference normalize.h:192-206
+    * via the phrase's numeric_tokens_mask): every space-separated token
+    * must be majority-digits — 2·digits ≥ codepoints, empty tokens pass —
+    * exactly `forall(split(s, " "), t => 2*len(digits(t)) >= len(t))`. */
+  def isNumericPhrase(s: String): Boolean = {
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        var d = 0
+        var n = 0
+        var j = start
+        while (j < i) {
+          val cp = s.codePointAt(j)
+          j += Character.charCount(cp)
+          n += 1
+          if (cp >= '0' && cp <= '9') d += 1
+        }
+        if (2 * d < n) return false
+        start = i + 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** The fused greedy multi-language area-assembly fold — byte-identical
+    * to the interpreted Catalyst HOF it replaces
+    * ([[graft.ops.Extras.greedyAreaAssemblyMLHof]]; reference
+    * get_suggestions.cc:181-255 + activate_areas :88-104). One generated
+    * loop per row instead of a per-(phrase, area, lang) interpreted
+    * expression tree: phrases fold IN ORDER; a phrase whose bits overlap
+    * the token mask is skipped; otherwise the argmin (strict `<`: first
+    * area, then first language, wins ties) over allowed areas accumulates
+    * masks, the score minus the pop bonus (pop·2/1e7), and the winning
+    * 1-based USER-language-list index into the area's nibble (overwrite).
+    * Zip-level areas (level 12) only compete for all-numeric phrases.
+    * Null inputs/elements/fields are non-matching, exactly as the HOF's
+    * null propagation resolved them; null `phrases`/`areas`/`langs` or an
+    * empty `areas` yield the init accumulator. Nibble packing bounds area
+    * sets at 16 (the reference's area_set_lang_t is a fixed small array,
+    * guess_context.h:43-46).
+    *
+    * Field ordinals are resolved by the [[AreaFold]] expression from the
+    * actual struct layouts (the phrase struct may carry extra fields, e.g.
+    * `is_num` in the suggest pipeline — ignored here, the rule is
+    * recomputed from the string exactly like the HOF did). */
+  def areaFold(
+      phrases: org.apache.spark.sql.catalyst.util.ArrayData, pFields: Int, pS: Int, pBits: Int,
+      areas: org.apache.spark.sql.catalyst.util.ArrayData, aFields: Int,
+      aNames: Int, aLevel: Int, aPop: Int, levelIsLong: Boolean, popIsInt: Boolean,
+      nFields: Int, nName: Int, nLang: Int,
+      langs: org.apache.spark.sql.catalyst.util.ArrayData,
+      initMask: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    var tok = initMask
+    var amask = 0L
+    var dist = 0.0d
+    var alang = 0L
+    val nP = if (phrases == null) 0 else phrases.numElements()
+    val nA = if (areas == null) 0 else areas.numElements()
+    val nL = if (langs == null) 0 else langs.numElements()
+    var pi = 0
+    while (pi < nP) {
+      if (!phrases.isNullAt(pi)) {
+        val p = phrases.getStruct(pi, pFields)
+        if (!p.isNullAt(pS) && !p.isNullAt(pBits)) {
+          val s = p.getUTF8String(pS)
+          val bits = p.getLong(pBits)
+          // the HOF scored every phrase and discarded gated ones; skipping
+          // the scoring under the gate is result-identical, strictly cheaper
+          if ((bits & tok) == 0L) {
+            val sLen = s.numChars()
+            var isNumComputed = false
+            var isNum = false
+            var bestScore = AreaNoMatch
+            var bestIdx = -1 // 0-based area index of the argmin
+            var bestLidx = 0 // 1-based user-language index of the winner
+            var ai = 0
+            while (ai < nA) {
+              if (!areas.isNullAt(ai)) {
+                val a = areas.getStruct(ai, aFields)
+                if (!a.isNullAt(aLevel) && !a.isNullAt(aNames)) {
+                  val level =
+                    if (levelIsLong) a.getLong(aLevel) else a.getInt(aLevel).toLong
+                  var allowed = true
+                  if (level == 12L) { // F9 gate: zip areas need numeric phrases
+                    if (!isNumComputed) {
+                      isNum = isNumericPhrase(s.toString)
+                      isNumComputed = true
+                    }
+                    allowed = isNum
+                  }
+                  if (allowed) {
+                    val names = a.getArray(aNames)
+                    val nN = names.numElements()
+                    var li = 0
+                    while (li < nL) {
+                      if (!langs.isNullAt(li)) {
+                        val lg = langs.getUTF8String(li)
+                        // first name in the area's list with this language
+                        var nm: UTF8String = null
+                        var ni = 0
+                        while (ni < nN && nm == null) {
+                          if (!names.isNullAt(ni)) {
+                            val nmS = names.getStruct(ni, nFields)
+                            if (!nmS.isNullAt(nLang) && !nmS.isNullAt(nName) &&
+                              nmS.getUTF8String(nLang).equals(lg))
+                              nm = nmS.getUTF8String(nName)
+                          }
+                          ni += 1
+                        }
+                        if (nm != null) {
+                          val lev = s.levenshteinDistance(nm) // builtin parity
+                          if (lev * 2 <= math.min(sLen, nm.numChars())) {
+                            val sc = lev.toDouble
+                            if (sc < bestScore) { // strict <: first (area, lang) wins
+                              bestScore = sc
+                              bestIdx = ai
+                              bestLidx = li + 1
+                            }
+                          }
+                        }
+                      }
+                      li += 1
+                    }
+                  }
+                }
+              }
+              ai += 1
+            }
+            if (bestIdx >= 0 && bestIdx < 16) {
+              val bestArea = areas.getStruct(bestIdx, aFields)
+              val pop =
+                if (bestArea.isNullAt(aPop)) 0.0d
+                else if (popIsInt) bestArea.getInt(aPop).toDouble
+                else bestArea.getLong(aPop).toDouble
+              tok |= bits
+              amask |= 1L << bestIdx
+              dist = dist + bestScore - pop * 2.0d / 1e7
+              val nib = 4 * bestIdx
+              alang = (alang & ~(15L << nib)) | (bestLidx.toLong << nib)
+            }
+          }
+        }
+      }
+      pi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tok, amask, dist, alang))
+  }
+
   /** Distinct space-free character trigrams in one pass (the string-typed
     * sibling of TrigramKeys; used where the output must be the gram text).
     * O(n) — the `transform(sequence, substr)` formulation is O(n²) on long
@@ -1085,4 +1238,135 @@ case class FormatAddress(children: Seq[Expression]) extends Expression
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FormatAddress = copy(children = newChildren)
   override def prettyName: String = "format_address"
+}
+
+/** The fused A6 greedy multi-language area-assembly fold (reference
+  * get_suggestions.cc:181-255 + activate_areas :88-104) — the codegen
+  * replacement for the interpreted `aggregate`/`transform`/`levenshtein`
+  * HOF tree (Catalyst HOF lambdas evaluate interpreted per row; this fold
+  * sits on the scored-candidate path of the suggest pipeline, where the
+  * HOF form was the dominant bench cost). Same retirement pattern as
+  * [[RefBestPhrase]]: one static kernel call per row inside
+  * WholeStageCodegen, byte-parity-spec'd against the HOF in ExtrasSpec.
+  *
+  * children = (phrases: array<struct<s: string, bits: bigint, ...>>,
+  *             areas: array<struct<names: array<struct<name, lang>>,
+  *                                 level: int|bigint, pop: int|bigint>>,
+  *             langs: array<string>,
+  *             initMask: bigint).
+  * Field ordinals are resolved BY NAME from the actual struct layouts, so
+  * callers may carry extra phrase fields (`is_num` etc.).
+  *
+  * Returns struct<tok, amask, dist, alang> — never null: null/empty
+  * inputs yield the init accumulator (tok = initMask, rest zero), exactly
+  * the HOF wrapper's `when(size(areas)=0 or isnull, init)` guard.
+  *
+  * NOTE on `alang` index space (per round-4 advice): each matched area's
+  * nibble stores the 1-based position in the USER language list `langs`
+  * of the winning language — NOT the reference's index into the AREA's
+  * own name-language array (get_suggestions.cc activate_areas stores
+  * find_lang's area-local index, which downstream C++ uses to subscript
+  * area_names_). The repo-wide convention is the user-list index (oracle,
+  * specs, and q39/q42 consumers all agree); consumers resolving the
+  * winning NAME must do so via `langs(nibble - 1)` against the area's
+  * names list, not by subscripting names[nibble - 1]. */
+case class AreaFold(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(first, second, third, fourth)
+  override def dataType: DataType = StructType(Seq(
+    StructField("tok", LongType, nullable = false),
+    StructField("amask", LongType, nullable = false),
+    StructField("dist", DoubleType, nullable = false),
+    StructField("alang", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def fail(msg: String) =
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: $msg")
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(p: StructType, _), ArrayType(a: StructType, _),
+          ArrayType(_: StringType, _), LongType) =>
+        def has(s: StructType, n: String, ok: DataType => Boolean): Boolean =
+          s.fields.find(_.name == n).exists(f => ok(f.dataType))
+        val pOk = has(p, "s", _.isInstanceOf[StringType]) && has(p, "bits", _ == LongType)
+        val aOk = has(a, "level", t => t == IntegerType || t == LongType) &&
+          has(a, "pop", t => t == IntegerType || t == LongType) &&
+          has(a, "names", {
+            case ArrayType(n: StructType, _) =>
+              has(n, "name", _.isInstanceOf[StringType]) &&
+                has(n, "lang", _.isInstanceOf[StringType])
+            case _ => false
+          })
+        if (!pOk) fail(s"phrases needs struct<s: string, bits: bigint>, got ${p.simpleString}")
+        else if (!aOk) fail("areas needs struct<names: array<struct<name, lang>>, " +
+          s"level: int|bigint, pop: int|bigint>, got ${a.simpleString}")
+        else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        fail("requires (array<struct>, array<struct>, array<string>, bigint), got " +
+          other.productIterator.map(_.asInstanceOf[DataType].simpleString).mkString(", "))
+    }
+  }
+
+  // field-ordinal layout, resolved once at planning time
+  private lazy val pStruct =
+    first.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val aStruct =
+    second.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val nStruct =
+    aStruct.fields(aStruct.fieldIndex("names")).dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val layout: (Int, Int, Int, Int, Int, Int, Int, Boolean, Boolean, Int, Int, Int) = (
+    pStruct.size, pStruct.fieldIndex("s"), pStruct.fieldIndex("bits"),
+    aStruct.size, aStruct.fieldIndex("names"), aStruct.fieldIndex("level"),
+    aStruct.fieldIndex("pop"),
+    aStruct.fields(aStruct.fieldIndex("level")).dataType == LongType,
+    aStruct.fields(aStruct.fieldIndex("pop")).dataType == IntegerType,
+    nStruct.size, nStruct.fieldIndex("name"), nStruct.fieldIndex("lang"))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val (pF, pS, pB, aF, aN, aL, aP, lLong, pInt, nF, nN, nL) = layout
+    val p = first.eval(input)
+    val a = second.eval(input)
+    val l = third.eval(input)
+    val m = fourth.eval(input)
+    ExprKernels.areaFold(
+      p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], pF, pS, pB,
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], aF, aN, aL, aP,
+      lLong, pInt, nF, nN, nL,
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      if (m == null) 0L else m.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val (pF, pS, pB, aF, aN, aL, aP, lLong, pInt, nF, nN, nL) = layout
+    val p = first.genCode(ctx)
+    val a = second.genCode(ctx)
+    val l = third.genCode(ctx)
+    val m = fourth.genCode(ctx)
+    val out = ctx.freshName("graftAreaFold")
+    val resultCode =
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $out =
+         |  graft.functions.ExprKernels.areaFold(
+         |    ${p.isNull} ? null : ${p.value}, $pF, $pS, $pB,
+         |    ${a.isNull} ? null : ${a.value}, $aF, $aN, $aL, $aP, $lLong, $pInt,
+         |    $nF, $nN, $nL,
+         |    ${l.isNull} ? null : ${l.value},
+         |    ${m.isNull} ? 0L : ${m.value});
+       """.stripMargin
+    ev.copy(
+      code = p.code + a.code + l.code + m.code + code"$resultCode",
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(out, dataType),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AreaFold =
+    copy(first = newChildren(0), second = newChildren(1),
+      third = newChildren(2), fourth = newChildren(3))
+  override def prettyName: String = "area_fold"
 }

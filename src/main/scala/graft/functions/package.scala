@@ -91,6 +91,14 @@ package object functions {
   /** fused distinct shingle xxhash64 set: norm text → sorted array<bigint>. */
   def shingle_hashes(c: Column): Column = col(ShingleHashes(ex(c)))
 
+  /** fused A6 greedy multi-language area-assembly fold: one codegen'd
+    * kernel call per row replacing the interpreted aggregate/transform/
+    * levenshtein HOF tree — struct<tok, amask, dist, alang>, never null.
+    * See [[AreaFold]] for the exact semantics and the alang index space. */
+  def area_fold(phrases: Column, areas: Column, langs: Column,
+      initMask: Column): Column =
+    col(AreaFold(ex(phrases), ex(areas), ex(langs), ex(initMask)))
+
   /** per-country address formatting (reference formatter.cc:87-159). */
   def format_address(houseNumber: Column, road: Column, postcode: Column,
       city: Column, country: Column, countryCode: Column): Column =
@@ -130,5 +138,6 @@ package object functions {
     reg.createOrReplaceTempFunction("minhash_xx", es => MinhashXx(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("format_address", es => FormatAddress(es), "scala_udf")
+    reg.createOrReplaceTempFunction("area_fold", es => AreaFold(es(0), es(1), es(2), es(3)), "scala_udf")
   }
 }

@@ -306,15 +306,26 @@ object Extras {
     *          bounds area sets at 16 — the reference's own area_set_lang_t
     *          is a fixed small array (guess_context.h:43-46). */
   def greedyAreaAssemblyML(phrases: Column, areas: Column, langs: Column,
-      initMask: Column): Column = {
+      initMask: Column): Column =
+    graft.functions.area_fold(phrases, areas, langs, initMask.cast("long"))
+
+  /** The ORIGINAL interpreted-HOF formulation of the fold, kept as the
+    * executable specification the codegen [[graft.functions.AreaFold]]
+    * kernel is byte-parity-tested against (ExtrasSpec). Catalyst HOF
+    * lambdas evaluate interpreted per row — this form was 13.6 s of the
+    * round-4 61 s bench across q38/q39/q42 (the same
+    * interpreted-loop-vs-codegen-kernel trade PointInRing and
+    * RefBestPhrase already made); never call it on a data path.
+    *
+    * (An intermediate variant hoisting per-language name resolution out of
+    * the fold was measured SLOWER still — q38 1.2→1.9 s, q42 2.6→4.0 s at
+    * sf0.1 — because names arrays are 1-2 entries; both interpreted shapes
+    * lose to the fused kernel.) */
+  private[graft] def greedyAreaAssemblyMLHof(phrases: Column, areas: Column,
+      langs: Column, initMask: Column): Column = {
     val init = struct(initMask.cast("long").as("tok"), lit(0L).as("amask"),
       lit(0.0d).as("dist"), lit(0L).as("alang"))
     val NoMatch = 1e9d
-    // NOTE on shape: resolving each area's per-language name OUTSIDE the
-    // fold (a hoisted `transform(areas, …lnames…)`) was measured SLOWER
-    // (q38 1.2→1.9 s, q42 2.6→4.0 s at sf0.1): names arrays are 1-2
-    // entries, so the per-(phrase,area,lang) filter scan is cheaper than
-    // materializing an extra struct+array per row. Keep the lookup inline.
     val folded = aggregate(phrases, init, (acc, p) => {
       // F9 per-TOKEN numeric rule (normalize.h:192-206 via the phrase's
       // numeric_tokens_mask): every token must be majority-digits — the
