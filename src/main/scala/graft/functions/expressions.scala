@@ -356,6 +356,7 @@ case class PointInRing(first: Expression, second: Expression, third: Expression)
 case class PolylineDist2(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true // NULL for < 2 points (no segment)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     first.dataType match {
       case ArrayType(s: StructType, _)
@@ -372,8 +373,15 @@ case class PolylineDist2(first: Expression, second: Expression, third: Expressio
       l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       x.asInstanceOf[Double], y.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (l, x, y) =>
-      s"graft.functions.ExprKernels.polylineDist2($l, $x, $y)")
+    nullSafeCodeGen(ctx, ev, (l, x, y) => {
+      val r = ctx.freshName("graftPld")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.ExprKernels.polylineDist2($l, $x, $y);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PolylineDist2 =
     copy(first = f, second = s, third = t)
@@ -383,10 +391,15 @@ case class PolylineDist2(first: Expression, second: Expression, third: Expressio
 object ExprKernels {
   /** Point-to-polyline kernel; per segment the clamped projection, then
     * strict-< min — every double op in the same association as the
-    * unrolled oracle SQL, so the hash check is exact. */
+    * unrolled oracle SQL, so the hash check is exact. Returns NULL for
+    * degenerate polylines (< 2 points: no segment exists) — the
+    * expression is public/SQL-reachable, and a sentinel
+    * (MaxValue, 0, 0) row would flow downstream as garbage coordinates
+    * unnoticed. */
   def polylineDist2(line: org.apache.spark.sql.catalyst.util.ArrayData,
       px: Double, py: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = line.numElements()
+    if (n < 2) return null
     var bestD2 = Double.MaxValue
     var bestX = 0.0d
     var bestY = 0.0d

@@ -53,8 +53,14 @@ object Bm25 {
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term").asc)))
       .filter(col("rnk") <= 3)
+      // fixed-point 1e-6 units, same rule as q29/q38/q42/q49: Spark's
+      // round() rounds the decimal rendering HALF_UP, DuckDB rounds the
+      // binary double — ln-based scores make a decimal half-way hit
+      // unlikely but not impossible at larger SFs; floor of the
+      // bit-identical double is engine-independent (score > 0 always:
+      // idf = ln(1 + x) with x > 0)
       .select(col("doc_id"), col("rnk"), col("term"),
-        round(col("score"), 6).as("score"))
+        floor(col("score") * 1000000 + 0.5).cast("long").as("score_fp"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -82,7 +88,8 @@ object Bm25 {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, term ASC) AS INT) AS rnk
         |  FROM sc)
-        |SELECT doc_id, rnk, term, round(score, 6) AS score
+        |SELECT doc_id, rnk, term,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_fp
         |FROM r WHERE rnk <= 3""".stripMargin
   )
 }

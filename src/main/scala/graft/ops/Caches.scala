@@ -15,6 +15,16 @@ import org.apache.spark.storage.StorageLevel
   * drains the registry after each query's sink action completes — the
   * same cache-scope-follows-sink discipline er.Pipeline uses internally,
   * applied at the query boundary.
+  *
+  * CONTRACT: one query in flight per JVM. The registry is global, so a
+  * concurrent caller (parallel test suites, a second query sharing the
+  * session) draining [[releaseAll]] can unpersist another query's frames
+  * mid-action — still CORRECT (a released plan recomputes), but the
+  * persist's speedup is lost. The harness mains (Verify/Bench/TimeQuery)
+  * run queries strictly sequentially and drain between them; library
+  * callers embedding these queries outside that harness should either
+  * call releaseAll() after each consuming action themselves or accept
+  * session-lifetime persists.
   */
 object Caches {
   private val reg = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

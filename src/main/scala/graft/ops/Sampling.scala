@@ -34,7 +34,17 @@ object Sampling {
       .when(col("lang") === "de", 23L)
       .when(col("lang") === "zh", 37L)
       .otherwise(51L)
-    val bucket = ((col("doc_id") + seed) * 2654435761L) % 4294967296L % 1000L
+    // Overflow-safe Knuth multiplicative hash: doc_id is reduced mod 2^31
+    // BEFORE the multiply so the i64 product is bounded by
+    // (2^31 + 51) · 2654435761 ≈ 5.7e18 < 2^63 — without the reduction,
+    // doc_id ≳ 3.47e9 overflows signed 64-bit, which Spark (non-ANSI)
+    // wraps silently while DuckDB raises, silently breaking the
+    // cross-engine reproducibility this operator exists for exactly at
+    // web scale. (Reducing mod 2^32, the obvious fix, still overflows:
+    // (2^32 − 1) · 2654435761 ≈ 1.14e19 > Long.MaxValue.) Same survivor
+    // set for all doc_id < 2^31.
+    val bucket =
+      ((col("doc_id") % 2147483648L + seed) * 2654435761L) % 4294967296L % 1000L
     d.select(col("doc_id"), col("lang"), rate.as("rate_permille"),
         bucket.as("bucket"))
       .filter(col("bucket") < col("rate_permille"))
@@ -46,7 +56,7 @@ object Sampling {
         |  SELECT doc_id, lang,
         |    CAST(CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
         |         WHEN 'zh' THEN 900 ELSE 100 END AS BIGINT) AS rate_permille,
-        |    ((doc_id + CASE lang WHEN 'en' THEN 11 WHEN 'de' THEN 23
+        |    ((doc_id % 2147483648 + CASE lang WHEN 'en' THEN 11 WHEN 'de' THEN 23
         |        WHEN 'zh' THEN 37 ELSE 51 END) * 2654435761)
         |      % 4294967296 % 1000 AS bucket
         |  FROM documents)

@@ -182,6 +182,15 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(gf.polyline_dist2(col("line"), col("px"), col("py")).getItem(0))
       .collect()(0).getDouble(0)
     assert(deg == 25.0, s"degenerate segment dist2 $deg != 25.0")
+    // < 2 points: no segment exists — must be NULL, not a sentinel row
+    // of garbage coordinates (the expression is public/SQL-reachable)
+    Seq(Seq((1.0, 2.0)), Seq.empty[(Double, Double)]).foreach { pts =>
+      val r = Seq((3.0, 4.0)).toDF("px", "py")
+        .withColumn("line", typedLit(pts).cast("array<struct<x:double,y:double>>"))
+        .select(gf.polyline_dist2(col("line"), col("px"), col("py")))
+        .collect()(0)
+      assert(r.isNullAt(0), s"polyline with ${pts.size} point(s) must be NULL")
+    }
   }
 
   test("GraftExtensions injects SQL functions") {

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.SparkTestSession
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** The exact q53 bucket rule, re-derived independently in BigInt
+    * arithmetic (cannot overflow), for any doc_id / seed. */
+  private def bucketRef(docId: Long, seed: Long): Long =
+    (((BigInt(docId) % BigInt(2147483648L) + seed) * BigInt(2654435761L))
+      % BigInt(4294967296L) % 1000).toLong
+
+  test("q53 bucket hash is overflow-free and engine-exact past 2^33 doc ids") {
+    // ids spanning the ranges where the pre-fix form overflowed i64:
+    // the old (doc_id + seed) * 2654435761 wraps for doc_id ≳ 3.47e9
+    val ids = Seq(0L, 1L, 999L, 2147483647L, 2147483648L, // 2^31 boundary
+      3470000000L, // old-form overflow onset
+      8589934592L, // 2^33
+      17179869184L, // 2^34
+      Long.MaxValue / 2654435761L + 12345L, // deep overflow territory
+      4611686018427387904L) // 2^62
+    val seed = 11L // the 'en' stratum seed
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        (((col("doc_id") % 2147483648L + lit(seed)) * 2654435761L)
+          % 4294967296L % 1000L).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val exp = bucketRef(id, seed)
+      assert(got(id) == exp, s"doc_id=$id: got ${got(id)}, want $exp")
+      assert(got(id) >= 0 && got(id) < 1000, s"doc_id=$id: bucket out of range")
+    }
+  }
+
+  test("q53 survivor set is deterministic and respects per-stratum rates") {
+    val docs = (0L until 4000L).map(i =>
+        (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de"
+        else if (i % 4 == 2) "zh" else "fr"))
+      .toDF("doc_id", "lang")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sampling").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Sampling.q53StratifiedSample(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 docs per stratum; hash-permille rates land near rate ± noise
+    assert(math.abs(out("en") - 250L) < 80, s"en kept ${out("en")}")
+    assert(math.abs(out("de") - 500L) < 80, s"de kept ${out("de")}")
+    assert(math.abs(out("zh") - 900L) < 80, s"zh kept ${out("zh")}")
+    assert(math.abs(out("fr") - 100L) < 80, s"fr kept ${out("fr")}")
+    // reproducible: a second run returns the identical survivor set
+    val s1 = Sampling.q53StratifiedSample(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.q53StratifiedSample(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+  }
+}
