@@ -133,6 +133,8 @@ object SparkEntry {
     // exact clamped-projection distance kernel + per-probe top-n
     // (reverse.cc:94-126, geo::distance_to_polyline)
     "q52_reverse_streets" -> (ReverseGeo.q52ReverseStreets _),
+    "q58_reverse_lookup" -> (ReverseGeo.q58ReverseLookup _),
+    "q59_substring_dedup" -> (Dedup.q59SubstringDedup _),
     // deterministic hash-stratified sampling — the training-data mixing
     // primitive (map-side predicate, reproducible across runs/engines)
     "q53_stratified_sample" -> (Sampling.q53StratifiedSample _),

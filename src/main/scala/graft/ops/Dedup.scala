@@ -245,11 +245,144 @@ object Dedup {
       (col("id") =!= col("label")).as("is_duplicate"))
   }
 
+  /** q59 window width (tokens) and winnowing window (selection density
+    * ~2/(K+1)): any cross-document duplicate span of at least
+    * W + K − 1 = 11 tokens is GUARANTEED to share a selected fingerprint
+    * (the K-run of shared windows is a full winnowing window in both
+    * docs; its min fingerprint is selected in both — Schleimer/Wilkerson/
+    * Aiken 2003, theorem 1). The public corpus-dedup form (Lee et al.
+    * 2022) uses a suffix array over the whole corpus — inherently
+    * single-machine; winnowed window fingerprints re-express the same
+    * substring-granularity detection as capped hash joins. */
+  val SubstrW = 8
+  val SubstrK = 4
+
+  /** q59: EXACT substring-level dedup — the one production dedup family
+    * document-granular MinHash (q21/q22/q55) cannot cover: boilerplate,
+    * license headers, and benchmark contamination are duplicated SPANS
+    * inside otherwise-distinct documents. Per doc: tokenize, hash every
+    * W-token window (md5 — DuckDB-reproducible, same family as q21),
+    * winnowing-select the min fingerprint of every K-window run (the
+    * sliding `min OVER` — tail-partial windows included, which only adds
+    * selections and keeps the guarantee), then pair docs through a
+    * CAPPED fingerprint join (planet-scale boilerplate fps are dropped
+    * whole, HAVING-mirrored) and merge overlapping/adjacent matched
+    * windows into maximal spans per pair (island detection over the
+    * running coverage max). Output: per (da < db) pair, the shared
+    * selected-fingerprint count, merged span count, and covered tokens
+    * in da's coordinate space.
+    *
+    * Scale: window hashing and selection are per-doc (one exchange on
+    * doc_id for the sliding min — at ingest this rides the existing
+    * per-doc partitioning); the only pair-expanding join is
+    * fingerprint-capped; islands partition by (da, db). Winnowing cuts
+    * the fingerprint volume ~(K+1)/2× vs every-window emission. */
+  def q59SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(load(spark, dir, "documents"))
+
+  def substringDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), split(gf.normalize_text(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= SubstrW)
+    val windows = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (SubstrW - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("t"), col("pos"), lit(SubstrW)))
+          .cast("binary")).as("fp"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // winnowing: the min fingerprint of each K-window of consecutive
+    // window hashes; DISTINCT because equal-text windows select the same
+    // fingerprint VALUE regardless of which position wins
+    val selected = windows
+      .withColumn("mfp", min(col("fp")).over(byDoc.rowsBetween(0, SubstrK - 1)))
+      .select(col("doc_id"), col("mfp").as("fp")).distinct()
+    val selPos = windows.join(selected, Seq("doc_id", "fp"))
+      .groupBy(col("doc_id"), col("fp")).agg(min(col("pos")).as("pos"))
+    // hot-fingerprint cap: a license header shared by millions of docs
+    // must not go quadratic — over-cap fps dropped whole (oracle HAVING)
+    val kept = selPos.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs").between(2, MaxBlock)).select(col("fp"))
+    val sp = selPos.join(kept, Seq("fp"))
+    val pairs = sp.as("a").join(sp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.pos").as("pa"))
+    // island detection: a matched window [pa, pa+W-1] extends the current
+    // span iff pa ≤ running max of previous (pa + W) (overlap or adjacency)
+    val byPair = Window.partitionBy(col("da"), col("db")).orderBy(col("pa"))
+    pairs
+      .withColumn("prev_end", max(col("pa") + SubstrW).over(
+        byPair.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pa") > col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(byPair))
+      .groupBy(col("da"), col("db"), col("span_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        (max(col("pa")) + SubstrW - min(col("pa"))).as("span_len"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(col("n_fps")).as("n_shared_fp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_tokens"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" ->
       """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keeper,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // q59: tokenization is the q54-proven regex mirror of normalize_text
+    // on this corpus; winnowing select = sliding min over K=4 window
+    // starts (tail partials included, as in the Spark frame); hot-fp cap
+    // BETWEEN 2 AND 256; islands via running coverage max
+    "q59_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[,;\-/().]', ' ', 'g'), '  +', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(p.p AS INT) AS pos,
+        |    md5(array_to_string(t[p.p : p.p + 7], ' ')) AS fp
+        |  FROM (SELECT * FROM toks WHERE len(t) >= 8) toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS p) p),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM w),
+        |sp AS (
+        |  SELECT w.doc_id, w.fp, min(w.pos) AS pos
+        |  FROM w JOIN sel s ON s.doc_id = w.doc_id AND s.fp = w.fp
+        |  GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT fp FROM sp GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa
+        |  FROM sp a
+        |  JOIN kept k ON a.fp = k.fp
+        |  JOIN sp b ON b.fp = a.fp AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT *, max(pa + 8) OVER (PARTITION BY da, db ORDER BY pa
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM pr),
+        |flg AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR pa > prev_end
+        |    THEN 1 ELSE 0 END AS new_span
+        |  FROM isl),
+        |sid AS (
+        |  SELECT *, sum(new_span) OVER (PARTITION BY da, db
+        |    ORDER BY pa) AS span_id
+        |  FROM flg),
+        |spans AS (
+        |  SELECT da, db, span_id, count(*) AS n_fps,
+        |    max(pa) + 8 - min(pa) AS span_len
+        |  FROM sid GROUP BY 1, 2, 3)
+        |SELECT da, db, CAST(sum(n_fps) AS BIGINT) AS n_shared_fp,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_len) AS BIGINT) AS dup_tokens
+        |FROM spans GROUP BY 1, 2""".stripMargin,
     "q21_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle

@@ -304,7 +304,19 @@ object Extras {
     *          OVERWRITES its nibble, exactly the reference's
     *          `area_lang[best_area_idx] = ...` assignment). Nibble packing
     *          bounds area sets at 16 — the reference's own area_set_lang_t
-    *          is a fixed small array (guess_context.h:43-46). */
+    *          is a fixed small array (guess_context.h:43-46).
+    *
+    * INDEX-SPACE NOTE (deliberate divergence): the reference stores
+    * `find_lang`'s index into the AREA's OWN name-language list (it later
+    * indexes `area_names_[lang_idx]` with it); here the nibble is the
+    * 1-based position in the USER `langs` preference list instead. The
+    * denormalized Spark schema has no stable per-area language array to
+    * index — names arrive as array<struct<name,lang>> whose order is not
+    * an identity — so the user-list index is the only well-defined space,
+    * and downstream consumers (q38/q42 oracles, SuggestSpec goldens)
+    * resolve the winning name via (area, langs[nibble]) lookup rather
+    * than positional indexing. Semantics (which language wins, tie order)
+    * are identical; only the integer's coordinate system differs. */
   def greedyAreaAssemblyML(phrases: Column, areas: Column, langs: Column,
       initMask: Column): Column =
     graft.functions.area_fold(phrases, areas, langs, initMask.cast("long"))

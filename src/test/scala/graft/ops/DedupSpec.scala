@@ -136,4 +136,66 @@ class DedupSpec extends AnyFunSuite {
     val slots = sig.groupBy("doc_id").count().select("count").distinct().collect()
     assert(slots.map(_.getLong(0)).toSet == Set(8L))
   }
+
+  test("q59 substring dedup: a planted shared span of W+K-1 tokens is " +
+      "GUARANTEED found; disjoint docs are not paired") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // winnowing guarantee (Schleimer/Wilkerson/Aiken 2003 thm 1): any
+    // duplicated span of >= W + K - 1 = 11 tokens shares a selected
+    // fingerprint. Plant EXACTLY the threshold-length span inside two
+    // otherwise token-disjoint documents; add a third disjoint doc.
+    val span = (1 to 11).map(i => s"shared$i").mkString(" ")
+    val docA = (1 to 30).map(i => s"alpha$i").mkString(" ") + " " + span +
+      " " + (1 to 30).map(i => s"omega$i").mkString(" ")
+    val docB = (1 to 25).map(i => s"beta$i").mkString(" ") + " " + span +
+      " " + (1 to 25).map(i => s"gamma$i").mkString(" ")
+    val docC = (1 to 80).map(i => s"delta$i").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs)
+      .select("da", "db", "dup_tokens").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      s"expected exactly the planted pair, got ${out.mkString(";")}")
+    // the merged span must cover at least one full window of the planted
+    // text and never exceed the planted 11 tokens plus one window of
+    // boundary slack on each side (windows STARTING before the span
+    // cannot match — surrounding tokens differ across docs)
+    val dup = out.head.getLong(2)
+    assert(dup >= Dedup.SubstrW && dup <= 11 + Dedup.SubstrW,
+      s"merged span length $dup outside [8, 19]")
+  }
+
+  test("q59 substring dedup: overlapping matched windows merge into ONE " +
+      "span and a hot fingerprint shared by >MaxBlock docs is dropped whole") {
+    import spark.implicits._
+    // two docs sharing one LONG span (40 tokens) → many overlapping
+    // matched windows, but island detection must merge them into a
+    // single maximal span, not report one span per fingerprint
+    val long = (1 to 40).map(i => s"dup$i").mkString(" ")
+    val a = "xa xb xc xd xe xf xg xh " + long + " ya yb yc yd ye yf yg yh"
+    val b = "za zb zc zd ze zf zg zh " + long + " wa wb wc wd we wf wg wh"
+    val pair = Dedup.substringDedup(
+      Seq((10L, a), (20L, b)).toDF("doc_id", "text")).collect()
+    assert(pair.length == 1)
+    val r = pair.head
+    assert(r.getLong(r.fieldIndex("n_spans")) == 1L,
+      s"overlapping windows must merge into one island: $r")
+    val covered = r.getLong(r.fieldIndex("dup_tokens"))
+    // winnowing may pick its first/last SHARED fingerprint up to K-1
+    // window starts inside the run at each end → 2(K-1) = 6 token slack
+    assert(covered >= 40 - 2 * (Dedup.SubstrK - 1) &&
+      covered <= 40 + Dedup.SubstrW,
+      s"island must span ~the planted 40 tokens, got $covered")
+    // hot-fp cap: the same boilerplate in 300 > MaxBlock docs → every
+    // selected fingerprint is shared by all 300 (token-IDENTICAL docs —
+    // a doc-specific prefix would make junction-run winnowing select
+    // boundary fps in doc SUBSETS under the cap, which is correct
+    // behavior but not what this test pins) and the ENTIRE block is
+    // dropped (no quadratic pair blow-up, mirrored by the oracle HAVING)
+    val boiler = (1 to 20).map(i => s"lic$i").mkString(" ")
+    val many = (1L to 300L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(Dedup.substringDedup(many).isEmpty,
+      "over-cap boilerplate fingerprints must be dropped whole")
+  }
 }
