@@ -138,6 +138,9 @@ object SparkEntry {
     // deterministic hash-stratified sampling — the training-data mixing
     // primitive (map-side predicate, reproducible across runs/engines)
     "q53_stratified_sample" -> (Sampling.q53StratifiedSample _),
+    // token-BUDGETED stratified sampling: per-stratum rate derived from
+    // a token rollup, broadcast back; survivor path stays map-side
+    "q60_token_budget_sample" -> (Sampling.q60TokenBudgetSample _),
     // BM25 salient-term extraction: partial-agg tf, df/dl rollups,
     // broadcast scalar attach, per-doc WindowGroupLimit top-3
     "q54_bm25" -> (Bm25.q54Bm25 _),

@@ -93,6 +93,78 @@ object Components {
     }
   }
 
+  /** Star-contraction components: the production fast path for the
+    * dedup-lifecycle graphs (q55), where verified near-dup components are
+    * overwhelmingly CLIQUES/STARS (every member of a duplicate group
+    * passes the pairwise Jaccard gate against the rest).
+    *
+    * Phase 1 — min-neighbor star forest: parent(x) = min(neighbors ∪ x).
+    * parent < x strictly for non-roots, so the map is an acyclic
+    * DECREASING forest; pointer doubling (par ← par∘par, the same kernel
+    * as er.Pipeline.forestLabels) reaches every root in ⌈log₂ depth⌉
+    * rounds — for clique/star components depth is 1 and the loop exits
+    * after one zero-advance round, vs the generic fixpoint's
+    * propagate-propagate-checkpoint-agg per round.
+    *
+    * Phase 2 — residual contraction (what makes this ALWAYS bit-equal to
+    * [[connectedComponents]], not a clique-only shortcut): an edge whose
+    * endpoints landed in different trees ("two leaves of one center":
+    * {1–3, 2–3} roots both 1 and 2) re-enters as a CONTRACTED edge
+    * between labels; the generic loop then runs on the label graph —
+    * usually EMPTY, and always ≤ the original graph, never larger. The
+    * component min is itself always a root (it has no smaller neighbor),
+    * so composing contracted labels over phase-1 labels yields exactly
+    * min-member-id labels — ComponentsSpec proves bit-equality on
+    * cliques, chains, the leaf-pair counterexample, and random graphs.
+    *
+    * Scale: phase 1 is one edge-sized aggregate plus log-depth
+    * self-joins of an (id, par) frame — no per-round full-graph
+    * propagate; at 10^12 docs the dedup graph's components are tiny and
+    * phase 2 is empty, so the whole closure costs ~3 small shuffles. */
+  def starContractedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val und = Caches.persist(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(edges.select(col("dst").as("a"), col("src").as("b"))))
+    val par0 = und.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("id"), least(col("nmin"), col("id")).as("par"))
+    var par = par0.localCheckpoint(true)
+    var advanced = if (par.isEmpty) 0L else 1L
+    while (advanced > 0L) {
+      val jumped = par
+        .join(par.select(col("id").as("par"), col("par").as("gpar")),
+          Seq("par"), "left")
+        .select(col("id"), coalesce(col("gpar"), col("par")).as("par"),
+          (col("gpar").isNotNull && col("gpar") =!= col("par"))
+            .cast("long").as("adv"))
+        .localCheckpoint(true)
+      advanced = jumped.agg(coalesce(sum(col("adv")), lit(0L)))
+        .collect()(0).getLong(0)
+      par = jumped.select(col("id"), col("par"))
+    }
+    val lab = par.select(col("id"), col("par").as("label"))
+    // residual: edges crossing phase-1 trees, contracted to label space
+    val viol = und
+      .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("src"), col("lb").as("dst")).distinct()
+      .localCheckpoint(true)
+    val resolved =
+      if (viol.isEmpty) lab
+      else {
+        val merged = connectedComponents(
+          lab.select(col("label").as("id")).distinct(), viol)
+        lab.join(
+            merged.select(col("id").as("label"), col("label").as("mlabel")),
+            Seq("label"))
+          .select(col("id"), col("mlabel").as("label"))
+      }
+    vertices.select(col("id"))
+      .join(resolved.withColumnRenamed("label", "touched_label"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("touched_label"), col("id")).as("label"))
+  }
+
   /** Incremental cluster maintenance: merge a batch of NEW edges into an
     * existing labeling without re-clustering the full edge history.
     *

@@ -50,7 +50,73 @@ object Sampling {
       .filter(col("bucket") < col("rate_permille"))
   }
 
+  /** q60: TOKEN-budgeted stratified sampling — mixing recipes budget
+    * TOKENS, not documents (a 250‰ doc rate over a long-doc stratum
+    * over-serves it). Per stratum the rate is DERIVED from a token-count
+    * rollup: `rate‰ = min(1000, budget_tokens · 1000 div total_tokens)`
+    * (zh's oversized budget exercises the keep-all clamp). The rollup is
+    * one tiny partial-agg exchange (#langs rows) broadcast back onto the
+    * corpus; the survivor path itself stays exactly q53's map-side
+    * predicate — scan → broadcast-hash-join → filter, NO new shuffle on
+    * the data. All-BIGINT algebra (`div`), the same overflow-safe Knuth
+    * hash and per-stratum seeds as q53, so the survivor set is
+    * reproducible across runs, engines, and resumes.
+    *
+    * Expected tokens kept ≈ Σ n_tokens·rate/1000 ≈ budget per stratum
+    * (hash sampling is doc-granular; a token-exact cut would need an
+    * order-dependent running sum — not reproducible under re-partition). */
+  def q60TokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(graft.functions.normalize_text(col("text")), " "))
+          .cast("long").as("n_tokens"))
+    val budget = when(col("lang") === "en", 2500L)
+      .when(col("lang") === "de", 2000L)
+      .when(col("lang") === "zh", 999999L) // > total → clamp to keep-all
+      .otherwise(800L)
+    val rates = d.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("budget_tokens", budget)
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("budget_tokens * 1000 div total_tokens")))
+    val seed = when(col("lang") === "en", 11L)
+      .when(col("lang") === "de", 23L)
+      .when(col("lang") === "zh", 37L)
+      .otherwise(51L)
+    val bucket =
+      ((col("doc_id") % 2147483648L + seed) * 2654435761L) % 4294967296L % 1000L
+    d.join(broadcast(rates), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("total_tokens"), col("rate_permille"), bucket.as("bucket"))
+      .filter(col("bucket") < col("rate_permille"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // q60: tokenization is the q59-proven regex mirror of normalize_text
+    // on this corpus; rate derivation and hash algebra all-BIGINT
+    "q60_token_budget_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[,;\-/().]', ' ', 'g'), '  +', ' ', 'g')), ' '))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |rates AS (
+        |  SELECT lang, sum(n_tokens) AS total_tokens,
+        |    CAST(CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 2000
+        |         WHEN 'zh' THEN 999999 ELSE 800 END AS BIGINT) AS budget_tokens
+        |  FROM toks GROUP BY 1),
+        |j AS (
+        |  SELECT t.doc_id, t.lang, t.n_tokens, r.total_tokens,
+        |    least(1000, r.budget_tokens * 1000 // r.total_tokens) AS rate_permille,
+        |    ((t.doc_id % 2147483648 + CASE t.lang WHEN 'en' THEN 11
+        |        WHEN 'de' THEN 23 WHEN 'zh' THEN 37 ELSE 51 END)
+        |      * 2654435761) % 4294967296 % 1000 AS bucket
+        |  FROM toks t JOIN rates r USING (lang))
+        |SELECT doc_id, lang, n_tokens, total_tokens,
+        |  CAST(rate_permille AS BIGINT) AS rate_permille,
+        |  CAST(bucket AS BIGINT) AS bucket
+        |FROM j WHERE bucket < rate_permille""".stripMargin,
     "q53_stratified_sample" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

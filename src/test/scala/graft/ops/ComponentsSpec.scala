@@ -61,4 +61,36 @@ class ComponentsSpec extends AnyFunSuite {
     assert(m(200L) == 200L && m(201L) == 200L, "disjoint new pair forms its own cluster")
     assert(m.keySet == Set(10L, 11L, 100L, 200L, 201L))
   }
+
+  test("starContractedComponents is bit-equal to the generic fixpoint on " +
+      "cliques, chains, the leaf-pair counterexample, and a random graph") {
+    import spark.implicits._
+    def check(name: String, vs: Seq[Long], es: Seq[(Long, Long)]): Unit = {
+      val vdf = vs.toDF("id")
+      val edf = es.toDF("src", "dst")
+      val fast = Components.starContractedComponents(vdf, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = Components.connectedComponents(vdf, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"$name: fast=$fast slow=$slow")
+    }
+    // clique (the near-dup group shape): phase 1 alone must resolve it
+    check("clique", 1L to 5L,
+      (1L to 5L).combinations(2).map(c => (c(0), c(1))).toSeq)
+    // the shape that BREAKS a bare min-neighbor pass: 3's neighbors are
+    // {1,2}, so 1 and 2 both root their own trees and only the residual
+    // contracted edge (1,2) merges them
+    check("leaf-pair", Seq(1L, 2L, 3L), Seq((2L, 3L), (1L, 3L)))
+    // a long chain: pointer doubling must walk log(depth) rounds
+    check("chain", 1L to 12L, (1L until 12L).map(i => (i, i + 1)))
+    // isolated vertices + multiple components + reversed edge orientation
+    check("mixed", 1L to 10L, Seq((7L, 2L), (2L, 9L), (5L, 4L), (10L, 10L)))
+    // deterministic pseudo-random graph (LCG — no Math.random in tests
+    // either, same reproducibility discipline as the mains)
+    var s = 42L
+    def nxt(n: Long): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s % n }
+    val rv = 1L to 60L
+    val re = (1 to 80).map(_ => (nxt(60) + 1, nxt(60) + 1)).filter(p => p._1 != p._2)
+    check("random", rv, re)
+  }
 }

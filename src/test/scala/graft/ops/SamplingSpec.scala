@@ -60,4 +60,37 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s1 == s2)
   }
+
+  test("q60 token-budgeted sampling: kept tokens land near each stratum's " +
+      "budget, the oversized-budget stratum keeps ALL docs, and the " +
+      "derived rate is exactly min(1000, budget*1000 div total)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Sampling.q60TokenBudgetSample(spark, dir).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    val budgets = Map("en" -> 2500L, "de" -> 2000L, "zh" -> 999999L)
+      .withDefaultValue(800L)
+    byLang.foreach { case (lang, rs) =>
+      val total = rs.head.getLong(rs.head.fieldIndex("total_tokens"))
+      val rate = rs.head.getLong(rs.head.fieldIndex("rate_permille"))
+      assert(rate == math.min(1000L, budgets(lang) * 1000L / total),
+        s"$lang rate $rate")
+      val kept = rs.map(_.getLong(rs.head.fieldIndex("n_tokens"))).sum
+      if (rate < 1000L) {
+        // doc-granular hash sampling: kept tokens ≈ budget within
+        // sampling noise (few hundred docs/stratum → generous band)
+        assert(kept > budgets(lang) / 3 && kept < budgets(lang) * 2,
+          s"$lang kept $kept tokens vs budget ${budgets(lang)}")
+        assert(kept < total, s"$lang sub-1000 rate must drop something")
+      } else assert(kept == total, s"zh clamp must keep every token")
+    }
+    // the clamp branch must actually fire
+    assert(byLang.contains("zh") &&
+      byLang("zh").head.getLong(byLang("zh").head.fieldIndex("rate_permille")) == 1000L)
+    // same hash, same seeds → the q60 survivor set for a stratum is the
+    // q53 survivor set WHENEVER the derived rate equals q53's fixed rate
+    // (the predicate is identical algebra) — spot-check determinism
+    val again = Sampling.q60TokenBudgetSample(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+  }
 }
