@@ -141,6 +141,9 @@ object SparkEntry {
     // token-BUDGETED stratified sampling: per-stratum rate derived from
     // a token rollup, broadcast back; survivor path stays map-side
     "q60_token_budget_sample" -> (Sampling.q60TokenBudgetSample _),
+    // the COMPOSED curation recipe: quality gate → exact dedup →
+    // near-dup lifecycle → token-budget sampling, one lineage manifest
+    "q61_curation_pipeline" -> (Curation.q61CurationPipeline _),
     // BM25 salient-term extraction: partial-agg tf, df/dl rollups,
     // broadcast scalar attach, per-doc WindowGroupLimit top-3
     "q54_bm25" -> (Bm25.q54Bm25 _),
@@ -167,5 +170,6 @@ object SparkEntry {
       Categories.oracles ++ er.Suggest.oracles ++ AreaPick.oracles ++
       SubsetCache.oracles ++ UrlOps.oracles ++ LinkGraph.oracles ++
       Ingest.oracles ++ ReverseGeo.oracles ++ Sampling.oracles ++
+      Curation.oracles ++
       Bm25.oracles
 }
