@@ -298,13 +298,18 @@ object Dedup {
           .cast("binary")).as("fp"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // winnowing: the min fingerprint of each K-window of consecutive
-    // window hashes; DISTINCT because equal-text windows select the same
-    // fingerprint VALUE regardless of which position wins
-    val selected = windows
-      .withColumn("mfp", min(col("fp")).over(byDoc.rowsBetween(0, SubstrK - 1)))
-      .select(col("doc_id"), col("mfp").as("fp")).distinct()
-    val selPos = windows.join(selected, Seq("doc_id", "fp"))
-      .groupBy(col("doc_id"), col("fp")).agg(min(col("pos")).as("pos"))
+    // window hashes, with its position carried THROUGH the frame min as
+    // a lexicographic (fp, pos) struct — one pass, no join-back. (A
+    // join-back form — select fps, re-scan windows for positions — is
+    // equivalent but re-tokenizes and re-hashes the whole corpus a
+    // second time: at web scale the window hashing is the dominant map
+    // CPU, so the selection must be single-scan.) Per (doc, fp) the
+    // recorded pos is the earliest K-window run that SELECTED it.
+    val selPos = windows
+      .withColumn("m", min(struct(col("fp"), col("pos")))
+        .over(byDoc.rowsBetween(0, SubstrK - 1)))
+      .groupBy(col("doc_id"), col("m.fp").as("fp"))
+      .agg(min(col("m.pos")).as("pos"))
     // hot-fingerprint cap: a license header shared by millions of docs
     // must not go quadratic — over-cap fps dropped whole (oracle HAVING)
     val kept = selPos.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
@@ -353,14 +358,13 @@ object Dedup {
         |  FROM (SELECT * FROM toks WHERE len(t) >= 8) toks,
         |    LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS p) p),
         |sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    min(fp) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  SELECT doc_id,
+        |    min({'fp': fp, 'pos': pos}) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
         |  FROM w),
         |sp AS (
-        |  SELECT w.doc_id, w.fp, min(w.pos) AS pos
-        |  FROM w JOIN sel s ON s.doc_id = w.doc_id AND s.fp = w.fp
-        |  GROUP BY 1, 2),
+        |  SELECT doc_id, m.fp AS fp, min(m.pos) AS pos
+        |  FROM sel GROUP BY 1, 2),
         |kept AS (
         |  SELECT fp FROM sp GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256),
         |pr AS (
