@@ -195,7 +195,15 @@ object Components {
       .unionByName(newEdges.select(col("src").as("id")))
       .unionByName(newEdges.select(col("dst").as("id")))
       .distinct()
-    connectedComponents(vertices, star.unionByName(newEdges.select(col("src"), col("dst"))))
+    // star ∪ new-edges is the IDEAL input for the star-contraction path:
+    // the prior labeling is already depth-1 (every satellite points at
+    // its component min), so phase 1 resolves it in one pointer-doubling
+    // round and only the handful of NEW cross-component bridges reach
+    // the residual label graph — labels stay bit-equal to the generic
+    // fixpoint (ComponentsSpec proves both the equality and that
+    // incremental == full re-clustering through this path)
+    starContractedComponents(vertices,
+      star.unionByName(newEdges.select(col("src"), col("dst"))))
   }
 
   /** Entity clusters over distinct part names: intern (D2 street-interning
