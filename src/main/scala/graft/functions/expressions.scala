@@ -829,11 +829,18 @@ object ExprKernels {
     * masks, the score minus the pop bonus (pop·2/1e7), and the winning
     * 1-based USER-language-list index into the area's nibble (overwrite).
     * Zip-level areas (level 12) only compete for all-numeric phrases.
-    * Null inputs/elements/fields are non-matching, exactly as the HOF's
-    * null propagation resolved them; null `phrases`/`areas`/`langs` or an
-    * empty `areas` yield the init accumulator. Nibble packing bounds area
-    * sets at 16 (the reference's area_set_lang_t is a fixed small array,
-    * guess_context.h:43-46).
+    * Null handling: null array elements and null name/level/pop fields
+    * make that element NON-MATCHING (an area with a null pop simply does
+    * not compete — the HOF spec instead poisons the whole accumulator
+    * with null there, a divergence pinned in ExtrasSpec; no data path
+    * produces null pops); null `phrases`/`areas`/`langs` or an empty
+    * `areas` yield the init accumulator; a null `initMask` reads as 0
+    * (the HOF yields an all-null struct — same class of divergence, SQL
+    * reachable only). Nibble packing bounds area sets at 16 (the
+    * reference's area_set_lang_t is a fixed small array,
+    * guess_context.h:43-46) — MORE THAN 16 AREAS FAILS LOUD rather than
+    * silently dropping matches past index 15 (the HOF's own mask/nibble
+    * shifts are equally undefined there).
     *
     * Field ordinals are resolved by the [[AreaFold]] expression from the
     * actual struct layouts (the phrase struct may carry extra fields, e.g.
@@ -853,6 +860,11 @@ object ExprKernels {
     val nP = if (phrases == null) 0 else phrases.numElements()
     val nA = if (areas == null) 0 else areas.numElements()
     val nL = if (langs == null) 0 else langs.numElements()
+    if (nA > 16)
+      throw new IllegalArgumentException(
+        s"area_fold: area set has $nA elements; the nibble-packed " +
+          "accumulator (reference area_set_lang_t, guess_context.h:43-46) " +
+          "bounds area sets at 16 — pre-rank or split the chain")
     var pi = 0
     while (pi < nP) {
       if (!phrases.isNullAt(pi)) {
@@ -873,7 +885,8 @@ object ExprKernels {
             while (ai < nA) {
               if (!areas.isNullAt(ai)) {
                 val a = areas.getStruct(ai, aFields)
-                if (!a.isNullAt(aLevel) && !a.isNullAt(aNames)) {
+                if (!a.isNullAt(aLevel) && !a.isNullAt(aNames) &&
+                  !a.isNullAt(aPop)) {
                   val level =
                     if (levelIsLong) a.getLong(aLevel) else a.getInt(aLevel).toLong
                   var allowed = true
@@ -922,11 +935,10 @@ object ExprKernels {
               }
               ai += 1
             }
-            if (bestIdx >= 0 && bestIdx < 16) {
+            if (bestIdx >= 0) { // nA <= 16 enforced above, so bestIdx < 16
               val bestArea = areas.getStruct(bestIdx, aFields)
-              val pop =
-                if (bestArea.isNullAt(aPop)) 0.0d
-                else if (popIsInt) bestArea.getInt(aPop).toDouble
+              val pop = // null pop excluded from the argmin above
+                if (popIsInt) bestArea.getInt(aPop).toDouble
                 else bestArea.getLong(aPop).toDouble
               tok |= bits
               amask |= 1L << bestIdx

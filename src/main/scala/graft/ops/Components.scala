@@ -122,47 +122,71 @@ object Components {
     * propagate; at 10^12 docs the dedup graph's components are tiny and
     * phase 2 is empty, so the whole closure costs ~3 small shuffles. */
   def starContractedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val und = Caches.persist(
-      edges.select(col("src").as("a"), col("dst").as("b"))
-        .unionByName(edges.select(col("dst").as("a"), col("src").as("b"))))
-    val par0 = und.groupBy(col("a").as("id"))
-      .agg(min(col("b")).as("nmin"))
-      .select(col("id"), least(col("nmin"), col("id")).as("par"))
-    var par = par0.localCheckpoint(true)
-    var advanced = if (par.isEmpty) 0L else 1L
-    while (advanced > 0L) {
-      val jumped = par
-        .join(par.select(col("id").as("par"), col("par").as("gpar")),
-          Seq("par"), "left")
-        .select(col("id"), coalesce(col("gpar"), col("par")).as("par"),
-          (col("gpar").isNotNull && col("gpar") =!= col("par"))
-            .cast("long").as("adv"))
-        .localCheckpoint(true)
-      advanced = jumped.agg(coalesce(sum(col("adv")), lit(0L)))
-        .collect()(0).getLong(0)
-      par = jumped.select(col("id"), col("par"))
-    }
-    val lab = par.select(col("id"), col("par").as("label"))
-    // residual: edges crossing phase-1 trees, contracted to label space
-    val viol = und
-      .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
-      .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
-      .filter(col("la") =!= col("lb"))
-      .select(col("la").as("src"), col("lb").as("dst")).distinct()
-      .localCheckpoint(true)
-    val resolved =
-      if (viol.isEmpty) lab
-      else {
-        val merged = connectedComponents(
-          lab.select(col("label").as("id")).distinct(), viol)
-        lab.join(
-            merged.select(col("id").as("label"), col("label").as("mlabel")),
-            Seq("label"))
-          .select(col("id"), col("mlabel").as("label"))
+    val spark = vertices.sparkSession
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist() // scoped: released in the finally below, not at harness drain
+    // Size the loop's shuffle width from the DATA (same two-regime rule
+    // as connectedComponents): the match graph is far smaller than its
+    // source tables, and each doubling round's join/checkpoint/agg pays
+    // per-task scheduling cost at the loop width — 32 near-empty tasks
+    // per stage on a 100-row graph is ~1 s/round of pure overhead, and
+    // tiny graphs are exactly this fast path's common case. The count
+    // also materializes the persisted edge table before round 1.
+    val edgeRows = und.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.min(sessionParts.toLong, math.max(
+      edgeRows / 2000000L + 1L,
+      math.min(spark.sparkContext.defaultParallelism.toLong, edgeRows / 512L + 1L))).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      val par0 = und.groupBy(col("a").as("id"))
+        .agg(min(col("b")).as("nmin"))
+        .select(col("id"), least(col("nmin"), col("id")).as("par"))
+      var par = par0.localCheckpoint(true)
+      var advanced = if (edgeRows == 0L) 0L else 1L
+      while (advanced > 0L) {
+        val jumped = par
+          .join(par.select(col("id").as("par"), col("par").as("gpar")),
+            Seq("par"), "left")
+          .select(col("id"), coalesce(col("gpar"), col("par")).as("par"),
+            (col("gpar").isNotNull && col("gpar") =!= col("par"))
+              .cast("long").as("adv"))
+          .localCheckpoint(true)
+        advanced = jumped.agg(coalesce(sum(col("adv")), lit(0L)))
+          .collect()(0).getLong(0)
+        par = jumped.select(col("id"), col("par"))
       }
-    vertices.select(col("id"))
-      .join(resolved.withColumnRenamed("label", "touched_label"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("touched_label"), col("id")).as("label"))
+      val lab = par.select(col("id"), col("par").as("label"))
+      // residual: edges crossing phase-1 trees, contracted to label space
+      val viol = und
+        .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+        .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("src"), col("lb").as("dst")).distinct()
+        .localCheckpoint(true)
+      val resolved =
+        if (viol.isEmpty) lab
+        else {
+          val merged = connectedComponents(
+            lab.select(col("label").as("id")).distinct(), viol)
+          lab.join(
+              merged.select(col("id").as("label"), col("label").as("mlabel")),
+              Seq("label"))
+            .select(col("id"), col("mlabel").as("label"))
+        }
+      // the result plan must not reference the about-to-be-unpersisted
+      // edge frame: everything downstream of `und` is already cut by the
+      // localCheckpoints above except the viol branch, which is also
+      // checkpointed — so the final join is safe after release
+      vertices.select(col("id"))
+        .join(resolved.withColumnRenamed("label", "touched_label"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("touched_label"), col("id")).as("label"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      und.unpersist()
+    }
   }
 
   /** Incremental cluster maintenance: merge a batch of NEW edges into an

@@ -55,24 +55,18 @@ object Curation {
       .withColumn("is_exact_dup", col("doc_id") =!= col("exact_keeper"))
       .withColumn("in_pool",
         col("passed_quality") && !col("is_exact_dup") && !col("is_near_dup"))
-    val budget: Column = when(col("lang") === "en", 2500L)
-      .when(col("lang") === "de", 2000L)
-      .when(col("lang") === "zh", 999999L)
-      .otherwise(800L)
     // rates derive from the SURVIVOR pool's token totals (per-stratum
-    // tiny aggregate, broadcast back — q60's exact shape)
+    // tiny aggregate, broadcast back — q60's exact shape); budgets,
+    // seeds, and the overflow-safe bucket are Sampling's single
+    // definitions so the composed pipeline provably agrees with the
+    // standalone samplers
     val rates = base.filter(col("in_pool"))
       .groupBy(col("lang")).agg(sum(col("n_tokens")).as("pool_tokens"))
-      .withColumn("budget_tokens", budget)
+      .withColumn("budget_tokens", Sampling.tokenBudget(col("lang")))
       .select(col("lang"),
         least(lit(1000L), expr("budget_tokens * 1000 div pool_tokens"))
           .as("rate_permille"))
-    val seed = when(col("lang") === "en", 11L)
-      .when(col("lang") === "de", 23L)
-      .when(col("lang") === "zh", 37L)
-      .otherwise(51L)
-    val bucket =
-      ((col("doc_id") % 2147483648L + seed) * 2654435761L) % 4294967296L % 1000L
+    val bucket = Sampling.knuthBucket(col("doc_id"), Sampling.strataSeed(col("lang")))
     base.join(broadcast(rates), Seq("lang"), "left")
       .withColumn("rate_permille", coalesce(col("rate_permille"), lit(0L)))
       .withColumn("bucket", bucket)

@@ -21,23 +21,27 @@ import graft.{functions => gf}
 object ReverseGeo {
   import Tables.load
 
-  /** q52: customers are probes; each supplier owns an irregular 3-vertex
-    * polyline (2 segments, deterministic radii). Output: top-3 streets
-    * per probe by exact point-to-polyline squared degree distance, with
-    * the closest point — reverse.cc's street branch end to end. The
-    * oracle unrolls the clamped projection per segment with the identical
-    * IEEE association, so the hash check is exact. */
-  def q52ReverseStreets(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Extras.coords(load(spark, dir, "customer"), "c_custkey", "id")
+  /** Customer probes with their containing-cell keys — shared by q52 and
+    * q58 so the probe geometry has one definition. */
+  private[ops] def probePoints(spark: SparkSession, dir: String): DataFrame =
+    Extras.coords(load(spark, dir, "customer"), "c_custkey", "id")
       .withColumn("cla", floor(col("lat")).cast("int"))
       .withColumn("clo", floor(col("lng")).cast("int"))
+
+  /** Capped 3×3-replicated street-polyline cells (site_id, line, cla,
+    * clo) — each supplier owns an irregular 3-vertex polyline (2
+    * segments, deterministic radii). ONE definition shared by q52 and
+    * q58's street branch: both queries' oracles unroll exactly this
+    * geometry, so a change here must show up in both or their "q52
+    * covers the street branch" relationship silently breaks. */
+  private[ops] def streetCells(spark: SparkSession, dir: String): DataFrame = {
     def radius(mult: Int): Column =
       lit(0.05) + ((col("site_id") * mult) % 20).cast("double") / 100.0
     val line = array( // v1 -> v2 (site center) -> v3; distinct radii per leg
       struct((col("s_lng") - radius(17)).as("x"), (col("s_lat") - radius(13)).as("y")),
       struct(col("s_lng").as("x"), col("s_lat").as("y")),
       struct((col("s_lng") + radius(23)).as("x"), (col("s_lat") + radius(19)).as("y")))
-    val streets = Extras.capCells(
+    Extras.capCells(
       Extras.coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
         .withColumnRenamed("lat", "s_lat").withColumnRenamed("lng", "s_lng")
         .withColumn("line", line) // S6 mm_vecvec segment storage analogue
@@ -46,6 +50,27 @@ object ReverseGeo {
         .select(col("site_id"), col("line"),
           (floor(col("s_lat")) + col("dx")).cast("int").as("cla"),
           (floor(col("s_lng")) + col("dy")).cast("int").as("clo")))
+  }
+
+  /** Capped 3×3-replicated point sites (site_id, p_lat, p_lng, cla, clo)
+    * — q58's house/place branch, the q34 cell shape over suppliers. */
+  private[ops] def placeCells(spark: SparkSession, dir: String): DataFrame =
+    Extras.capCells(
+      Extras.coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
+        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+        .select(col("site_id"), col("lat").as("p_lat"), col("lng").as("p_lng"),
+          (floor(col("lat")) + col("dx")).cast("int").as("cla"),
+          (floor(col("lng")) + col("dy")).cast("int").as("clo")))
+
+  /** q52: top-3 streets per probe by exact point-to-polyline squared
+    * degree distance, with the closest point — reverse.cc's street
+    * branch end to end. The oracle unrolls the clamped projection per
+    * segment with the identical IEEE association, so the hash check is
+    * exact. */
+  def q52ReverseStreets(spark: SparkSession, dir: String): DataFrame = {
+    val pts = probePoints(spark, dir)
+    val streets = streetCells(spark, dir)
     pts.join(streets, Seq("cla", "clo")) // R-tree candidate pass analogue
       .withColumn("r", gf.polyline_dist2(col("line"), col("lng"), col("lat")))
       .withColumn("d2", col("r").getItem(0))
@@ -79,46 +104,28 @@ object ReverseGeo {
     * Probes deterministically exercise the filter gate: id%3==0 →
     * address-only (streets), id%3==1 → places-only, else both. */
   def q58ReverseLookup(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Extras.coords(load(spark, dir, "customer"), "c_custkey", "id")
-      .withColumn("cla", floor(col("lat")).cast("int"))
-      .withColumn("clo", floor(col("lng")).cast("int"))
-    // street branch: q52's polylines, score = polyline distance (no bonus)
-    def radius(mult: Int): Column =
-      lit(0.05) + ((col("site_id") * mult) % 20).cast("double") / 100.0
-    val line = array(
-      struct((col("s_lng") - radius(17)).as("x"), (col("s_lat") - radius(13)).as("y")),
-      struct(col("s_lng").as("x"), col("s_lat").as("y")),
-      struct((col("s_lng") + radius(23)).as("x"), (col("s_lat") + radius(19)).as("y")))
-    val streets = Extras.capCells(
-      Extras.coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
-        .withColumnRenamed("lat", "s_lat").withColumnRenamed("lng", "s_lng")
-        .withColumn("line", line)
-        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
-        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
-        .select(col("site_id"), col("line"),
-          (floor(col("s_lat")) + col("dx")).cast("int").as("cla"),
-          (floor(col("s_lng")) + col("dy")).cast("int").as("clo")))
-    val streetHits = pts.join(streets, Seq("cla", "clo"))
+    val pts = probePoints(spark, dir)
+    // street branch: q52's polylines (shared builder — see streetCells),
+    // score = polyline distance (no bonus)
+    val streetHits = pts.join(streetCells(spark, dir), Seq("cla", "clo"))
       .withColumn("d2",
         gf.polyline_dist2(col("line"), col("lng"), col("lat")).getItem(0))
       .select(col("id"), lit("street").as("kind"),
         col("site_id").as("entity_id"),
         (sqrt(col("d2")) * 1000.0).as("score"))
-    // place branch: q34's point sites (distinct entity-id space), score =
+    // place branch: q34's point sites (namespaced by kind), score =
     // point distance − 10 (the reference's house/place bonus: a point hit
     // AT its location should outrank a street you are merely near)
-    val places = Extras.capCells(
-      Extras.coords(load(spark, dir, "supplier"), "s_suppkey", "site_id")
-        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
-        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
-        .select(col("site_id"), col("lat").as("p_lat"), col("lng").as("p_lng"),
-          (floor(col("lat")) + col("dx")).cast("int").as("cla"),
-          (floor(col("lng")) + col("dy")).cast("int").as("clo")))
+    val places = placeCells(spark, dir)
     val dlat = col("lat") - col("p_lat")
     val dlng = col("lng") - col("p_lng")
+    // identity is the (kind, entity_id) PAIR — no numeric offset: any
+    // constant offset collides with the street id space once site ids
+    // exceed it (e.g. supplier keys past 1e7), silently mis-attributing
+    // hits exactly at scale
     val placeHits = pts.join(places, Seq("cla", "clo"))
       .select(col("id"), lit("place").as("kind"),
-        (col("site_id") + 10000000L).as("entity_id"),
+        col("site_id").as("entity_id"),
         (sqrt(dlat * dlat + dlng * dlng) * 1000.0 - 10.0).as("score"))
     // merged union (§2.9) + the filter_type gate + ONE shared top-n
     streetHits.unionByName(placeHits)
@@ -287,7 +294,7 @@ object ReverseGeo {
         |    ON s.cla = k.cla AND s.clo = k.clo),
         |place_hits AS (
         |  SELECT p.id, 'place' AS kind,
-        |    CAST(s.site_id + 10000000 AS BIGINT) AS entity_id,
+        |    CAST(s.site_id AS BIGINT) AS entity_id,
         |    sqrt((p.lat - s.p_lat) * (p.lat - s.p_lat)
         |      + (p.lng - s.p_lng) * (p.lng - s.p_lng)) * 1000.0 - 10.0 AS score
         |  FROM pts p JOIN pcells_kept s

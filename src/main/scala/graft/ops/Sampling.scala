@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
   import Tables.load
+  import org.apache.spark.sql.Column
+
+  /** Per-stratum seeds — THE single definition; q53, q60, and q61 all
+    * sample with these so the composed pipeline provably agrees with
+    * the standalone samplers (the oracles mirror the same CASE). */
+  private[ops] def strataSeed(lang: Column): Column =
+    when(lang === "en", 11L)
+      .when(lang === "de", 23L)
+      .when(lang === "zh", 37L)
+      .otherwise(51L)
+
+  /** Per-stratum token budgets shared by q60 and q61 (zh oversized to
+    * exercise the keep-all clamp). */
+  private[ops] def tokenBudget(lang: Column): Column =
+    when(lang === "en", 2500L)
+      .when(lang === "de", 2000L)
+      .when(lang === "zh", 999999L)
+      .otherwise(800L)
+
+  /** Overflow-safe Knuth multiplicative bucket — THE single definition
+    * (three call sites: q53/q60/q61; commit 63f403b had to patch every
+    * copy of the pre-fix form, hence the extraction). doc_id is reduced
+    * mod 2^31 BEFORE the multiply so the i64 product is bounded by
+    * (2^31 + 51) · 2654435761 ≈ 5.7e18 < 2^63 — without the reduction,
+    * doc_id ≳ 3.47e9 overflows signed 64-bit, which Spark (non-ANSI)
+    * wraps silently while DuckDB raises, silently breaking the
+    * cross-engine reproducibility this operator exists for exactly at
+    * web scale. (Reducing mod 2^32, the obvious fix, still overflows:
+    * (2^32 − 1) · 2654435761 ≈ 1.14e19 > Long.MaxValue.) Same survivor
+    * set for all doc_id < 2^31. */
+  private[ops] def knuthBucket(id: Column, seed: Column): Column =
+    ((id % 2147483648L + seed) * 2654435761L) % 4294967296L % 1000L
 
   /** q53: per-language permille rates over documents (en 250, de 500,
     * zh 900, everything else 100), Knuth multiplicative 32-bit hash with
@@ -30,21 +62,7 @@ object Sampling {
       .when(col("lang") === "de", 500L)
       .when(col("lang") === "zh", 900L)
       .otherwise(100L)
-    val seed = when(col("lang") === "en", 11L)
-      .when(col("lang") === "de", 23L)
-      .when(col("lang") === "zh", 37L)
-      .otherwise(51L)
-    // Overflow-safe Knuth multiplicative hash: doc_id is reduced mod 2^31
-    // BEFORE the multiply so the i64 product is bounded by
-    // (2^31 + 51) · 2654435761 ≈ 5.7e18 < 2^63 — without the reduction,
-    // doc_id ≳ 3.47e9 overflows signed 64-bit, which Spark (non-ANSI)
-    // wraps silently while DuckDB raises, silently breaking the
-    // cross-engine reproducibility this operator exists for exactly at
-    // web scale. (Reducing mod 2^32, the obvious fix, still overflows:
-    // (2^32 − 1) · 2654435761 ≈ 1.14e19 > Long.MaxValue.) Same survivor
-    // set for all doc_id < 2^31.
-    val bucket =
-      ((col("doc_id") % 2147483648L + seed) * 2654435761L) % 4294967296L % 1000L
+    val bucket = knuthBucket(col("doc_id"), strataSeed(col("lang")))
     d.select(col("doc_id"), col("lang"), rate.as("rate_permille"),
         bucket.as("bucket"))
       .filter(col("bucket") < col("rate_permille"))
@@ -70,21 +88,12 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         size(split(graft.functions.normalize_text(col("text")), " "))
           .cast("long").as("n_tokens"))
-    val budget = when(col("lang") === "en", 2500L)
-      .when(col("lang") === "de", 2000L)
-      .when(col("lang") === "zh", 999999L) // > total → clamp to keep-all
-      .otherwise(800L)
     val rates = d.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("total_tokens"))
-      .withColumn("budget_tokens", budget)
+      .withColumn("budget_tokens", tokenBudget(col("lang"))) // zh: clamp
       .withColumn("rate_permille",
         least(lit(1000L), expr("budget_tokens * 1000 div total_tokens")))
-    val seed = when(col("lang") === "en", 11L)
-      .when(col("lang") === "de", 23L)
-      .when(col("lang") === "zh", 37L)
-      .otherwise(51L)
-    val bucket =
-      ((col("doc_id") % 2147483648L + seed) * 2654435761L) % 4294967296L % 1000L
+    val bucket = knuthBucket(col("doc_id"), strataSeed(col("lang")))
     d.join(broadcast(rates), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("total_tokens"), col("rate_permille"), bucket.as("bucket"))

@@ -112,6 +112,49 @@ class ExtrasSpec extends AnyFunSuite {
       "initMask blocks phrase 1; phrase 2 still matches area 2")
   }
 
+  test("AreaFold fails LOUD on more than 16 areas instead of silently " +
+      "dropping matches past the nibble bound") {
+    val many = (1 to 17).map(i => (Seq((s"a$i", "en")), 4, 0L))
+    val df = Seq((1L, Seq(("a17", 1L)), many, 0L))
+      .toDF("qid", "p", "a", "init").selectExpr(
+        "qid",
+        "transform(p, x -> named_struct('s', x._1, 'bits', x._2)) AS phrases",
+        "transform(a, x -> named_struct(" +
+          "'names', transform(x._1, n -> named_struct('name', n._1, 'lang', n._2))," +
+          "'level', x._2, 'pop', x._3)) AS areas",
+        "init")
+    val e = intercept[Exception] {
+      df.select(Extras.greedyAreaAssemblyML(col("phrases"), col("areas"),
+        array(lit("en")), col("init"))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) Option(t.getMessage).getOrElse("")
+      else rootMsg(t.getCause) + Option(t.getMessage).getOrElse("")
+    assert(rootMsg(e).contains("bounds area sets at 16") ||
+      e.toString.contains("bounds area sets at 16"), e.toString)
+  }
+
+  test("AreaFold treats a null-pop area as non-competing (pinned " +
+      "divergence: the HOF spec poisons the accumulator with null there)") {
+    // area 1 would win the argmin but carries a null pop → must not
+    // compete; area 2 (exact match in the second user language) wins
+    val df = spark.sql(
+      """SELECT array(named_struct('s', 'berlin', 'bits', 1L)) AS phrases,
+        |  array(
+        |    named_struct('names', array(named_struct('name', 'berlin', 'lang', 'en')),
+        |      'level', 4L, 'pop', CAST(NULL AS BIGINT)),
+        |    named_struct('names', array(named_struct('name', 'berlim', 'lang', 'de')),
+        |      'level', 4L, 'pop', 77L)) AS areas,
+        |  array('en', 'de') AS langs, 0L AS init""".stripMargin)
+    val r = df.select(Extras.greedyAreaAssemblyML(col("phrases"),
+      col("areas"), col("langs"), col("init")).as("r"))
+      .select("r.tok", "r.amask", "r.dist", "r.alang").collect().head
+    assert(r.getLong(0) == 1L, "phrase must still match through area 2")
+    assert(r.getLong(1) == 2L, s"null-pop area must not compete: ${r.getLong(1)}")
+    assert(r.getDouble(2) == 1.0 - 77L * 2.0 / 1e7) // lev(berlin,berlim)=1
+    assert(r.getLong(3) == (2L << 4), "winner nibble on area 2, lang de")
+  }
+
   test("AreaFold single-language delegate keeps greedyAreaAssembly semantics") {
     val df = Seq((1L, Seq(("berlin", 1L), ("europe", 2L)),
         Seq(("berlin", 4, 100000L), ("europe", 2, 0L))))
