@@ -65,7 +65,13 @@ object Bench {
       val erT0 = System.nanoTime()
       val o = er.Pipeline.runPipeline(spark, cfg)
       val s = (System.nanoTime() - erT0) / 1e9
-      if (s < erSec) { erSec = s; out0 = o }
+      // release the LOSING run's persisted frames immediately: a leaked
+      // mention-scale cache per rep would evict blocks inside the very
+      // window being timed
+      if (s < erSec) {
+        if (out0 != null) er.Pipeline.release(out0)
+        erSec = s; out0 = o
+      } else er.Pipeline.release(o)
     }
     // untimed metric collection (candidate-pair count is already collected
     // inside the run; only the mention count is stats-gated)
@@ -99,6 +105,7 @@ object Bench {
     for (p <- Seq("BENCH.json", "bench_out.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
       catch { case _: Throwable => }
+    er.Pipeline.release(out)
     spark.stop()
   }
 }

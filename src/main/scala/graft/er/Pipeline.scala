@@ -46,9 +46,17 @@ object Pipeline {
       // grams, so the rarest shared grams stay in both prefixes, while
       // Zipf-hot grams stop generating quadratic blocks entirely
       prefixKeys: Int = 6,
-      // scoring accept rule (tuned on the synthetic corpus via TuneMain;
-      // precision-first: one bad edge merges two whole clusters)
+      // JW threshold for TUNEMAIN'S SWEEP ONLY — the production accept
+      // gate deliberately excludes whole-string JW (see scorePairs: on
+      // dense entity spaces it passes corrupted variants of DIFFERENT
+      // entities faster than it recovers true pairs); the real tuning
+      // surface is siftMaxEdits/levMaxPerBytes/levMaxCap below plus the
+      // per-aligned-token constants tokLevMax/tokJwMin.
       jwThreshold: Double = 0.96,
+      // per-aligned-token closeness gate (scorePairs tok_ok): every
+      // aligned token pair must satisfy lev ≤ tokLevMax OR jw ≥ tokJwMin
+      tokLevMax: Int = 2,
+      tokJwMin: Double = 0.92,
       levMaxPerBytes: Double = 1.0 / 12.0, // allowed edits per byte of min length
       levMaxCap: Int = 2, // plain Levenshtein counts a transposition as 2
       // SIFT4 counts a transposition as 1 (the reference scorer's
@@ -215,9 +223,8 @@ object Pipeline {
 
     val m = strings
       .select($"string_id", $"match_key", gf.trigram_keys($"match_key").as("tris"))
-      .withColumn("n_grams", size($"tris"))
 
-    val keyed = m.select($"string_id", $"n_grams", explode($"tris").as("key"))
+    val keyed = m.select($"string_id", explode($"tris").as("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freq = keyed.groupBy($"key").agg(count(lit(1)).as("cnt"))
 
@@ -232,19 +239,25 @@ object Pipeline {
         org.apache.spark.sql.expressions.Window
           .partitionBy($"string_id").orderBy($"cnt".asc, $"key".asc)))
       .filter($"rnk" <= cfg.prefixKeys)
-      .select($"string_id", $"n_grams", $"key")
+      .select($"string_id", $"key")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val pfreq = prefixed.groupBy($"key").agg(count(lit(1)).as("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val (totalKeys, hotKeys, hotVolume) =
+    val (totalKeys, hotKeys, hotVolume, keptKeyCount) =
       if (cfg.collectStats) {
         val agg = pfreq.agg(count(lit(1)).as("t"),
           coalesce(sum(when($"cnt" > cfg.maxBlockSize, 1L).otherwise(0L)), lit(0L)).as("k"),
-          coalesce(sum(when($"cnt" > cfg.maxBlockSize, $"cnt").otherwise(0L)), lit(0L)).as("v"))
+          coalesce(sum(when($"cnt" > cfg.maxBlockSize, $"cnt").otherwise(0L)), lit(0L)).as("v"),
+          // keptKeys counted from the kept predicate itself, NOT derived
+          // as total - hot: prefix keys whose pfreq is 1 (a gram that
+          // survived into only one string's prefix after rank truncation)
+          // are dropped by the kept filter too, so total - hot overcounts
+          coalesce(sum(when($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize, 1L)
+            .otherwise(0L)), lit(0L)).as("kk"))
           .collect()(0)
-        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-      } else (-1L, -1L, -1L)
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+      } else (-1L, -1L, -1L, -1L)
     val kept = pfreq.filter($"cnt" >= 2 && $"cnt" <= cfg.maxBlockSize)
 
     // AQE sizes stages by their INPUT bytes, so the aggregated block list
@@ -299,7 +312,7 @@ object Pipeline {
 
     val stats = BlockingStats(
       totalKeys = totalKeys,
-      keptKeys = if (totalKeys < 0) -1L else totalKeys - hotKeys,
+      keptKeys = keptKeyCount,
       hotKeysDropped = hotKeys,
       hotVolumeDropped = hotVolume,
       candidatePairs = nPairs)
@@ -360,7 +373,8 @@ object Pipeline {
         val tb = split($"dst_key", " ")
         when(size(ta) =!= size(tb), lit(true)).otherwise(
           forall(zip_with(ta, tb, (a, b) =>
-            levenshtein(a, b) <= 2 || gf.jaro_winkler(a, b) >= 0.92), x => x))
+            levenshtein(a, b) <= cfg.tokLevMax ||
+              gf.jaro_winkler(a, b) >= cfg.tokJwMin), x => x))
       })
       // Scalar accept: the edit-distance gate ONLY. The corruption model a
       // correct matcher must absorb is "≤1 typo per surface" — SIFT4 ≤ 1
@@ -548,13 +562,8 @@ object Pipeline {
     def labelPath(i: Int) = s"${cfg.workDir}/labels_iter_$i"
 
     val startIter =
-      if (cfg.resume) {
-        val done = Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
-          .map(_.getName)
-          .filter(n => n.startsWith("labels_iter_") && !n.endsWith("_init"))
-          .flatMap(n => scala.util.Try(n.stripPrefix("labels_iter_").toInt).toOption)
-        if (done.isEmpty) 0 else done.max + 1
-      } else 0
+      if (cfg.resume) resumePoint(fs, "labels_iter_")
+      else { cleanIterFiles(fs, "labels_iter_"); 0 }
 
     // Labels only ever DECREASE under min-propagation, so the exact
     // convergence test "no label changed this round" is equivalent to
@@ -563,7 +572,10 @@ object Pipeline {
     // convergence costs zero extra jobs and the per-step changed-flag
     // bookkeeping (an extra left join per propagation) disappears.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"label".cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+      df.agg(sum($"label".cast(DecimalType(38, 0)))).collect()(0).getDecimal(0) match {
+        case null => java.math.BigDecimal.ZERO // empty vertex set: sum is NULL
+        case s => s
+      }
 
     var labels =
       if (startIter > 0) graft.ops.TableIO.read(spark, labelPath(startIter - 1))
@@ -653,6 +665,15 @@ object Pipeline {
       spark.conf.set("spark.sql.join.preferSortMergeJoin", prevPreferSMJ)
     }
     und.unpersist()
+    // FAIL LOUD on iteration exhaustion: returning the last unconverged
+    // labels silently splits clusters (members still grouped under
+    // intermediate ancestors) — the one failure mode a clustering engine
+    // must never hide. The checkpoints are all on disk, so a rerun with a
+    // higher maxIterations resumes from here.
+    if (!converged && iter > startIter) // loop ran and hit the cap
+      throw new IllegalStateException(
+        s"cluster: not converged after ${cfg.maxIterations} iterations " +
+          s"(workDir=${cfg.workDir}; resume with a higher maxIterations)")
     (labels, metrics.result())
   }
 
@@ -704,12 +725,8 @@ object Pipeline {
     def parPath(i: Int) = s"${cfg.workDir}/parents_iter_$i"
     def labelPath(i: Int) = s"${cfg.workDir}/labels_iter_$i"
     val startIter =
-      if (cfg.resume) {
-        val done = Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
-          .map(_.getName).filter(_.startsWith("parents_iter_"))
-          .flatMap(n => scala.util.Try(n.stripPrefix("parents_iter_").toInt).toOption)
-        if (done.isEmpty) 0 else done.max + 1
-      } else 0
+      if (cfg.resume) resumePoint(fs, "parents_iter_")
+      else { cleanIterFiles(fs, "parents_iter_"); cleanIterFiles(fs, "labels_iter_"); 0 }
 
     var par =
       if (startIter > 0) graft.ops.TableIO.read(spark, parPath(startIter - 1))
@@ -758,6 +775,14 @@ object Pipeline {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
+    // FAIL LOUD on iteration exhaustion (same contract as `cluster`):
+    // assembling with non-root parents groups members under intermediate
+    // ancestors — silently split clusters
+    if (!converged && iter > startIter)
+      throw new IllegalStateException(
+        s"forestLabels: not converged after ${cfg.maxIterations} pointer-" +
+          s"doubling rounds (workDir=${cfg.workDir}; resume with a higher " +
+          "maxIterations)")
 
     // assemble: every tree member (satellites + the root itself) grouped
     // by root, labeled with the min member id; isolated vertices label
@@ -796,15 +821,23 @@ object Pipeline {
   def labeledPairUniverse(stringPairs: DataFrame, membership: DataFrame): DataFrame = {
     val spark = stringPairs.sparkSession
     import spark.implicits._
-    val mem = membership.select($"mention_id", $"string_id")
+    // carry the FULL 128-bit identity per side (the file's contract at
+    // withMentionIds: mention-level joins key on both columns — a 64-bit
+    // universe would fan out on a collision at 10^12 rows and silently
+    // inflate tp/fp); pair orientation orders by the (id, id2) struct
+    val mem = membership.select(
+      struct($"mention_id", $"mention_id2").as("m"), $"string_id")
     val crossString = stringPairs
-      .join(mem.withColumnRenamed("string_id", "src").withColumnRenamed("mention_id", "m_src"), Seq("src"))
-      .join(mem.withColumnRenamed("string_id", "dst").withColumnRenamed("mention_id", "m_dst"), Seq("dst"))
-      .select(least($"m_src", $"m_dst").as("src"), greatest($"m_src", $"m_dst").as("dst"))
+      .join(mem.withColumnRenamed("string_id", "src").withColumnRenamed("m", "m_src"), Seq("src"))
+      .join(mem.withColumnRenamed("string_id", "dst").withColumnRenamed("m", "m_dst"), Seq("dst"))
+      .select(least($"m_src", $"m_dst").as("s"), greatest($"m_src", $"m_dst").as("d"))
     val sameString = mem.as("a")
-      .join(mem.as("b"), $"a.string_id" === $"b.string_id" && $"a.mention_id" < $"b.mention_id")
-      .select($"a.mention_id".as("src"), $"b.mention_id".as("dst"))
-    crossString.unionByName(sameString).dropDuplicates("src", "dst")
+      .join(mem.as("b"), $"a.string_id" === $"b.string_id" && $"a.m" < $"b.m")
+      .select($"a.m".as("s"), $"b.m".as("d"))
+    crossString.unionByName(sameString)
+      .select($"s.mention_id".as("src"), $"s.mention_id2".as("src2"),
+        $"d.mention_id".as("dst"), $"d.mention_id2".as("dst2"))
+      .dropDuplicates("src", "src2", "dst", "dst2")
   }
 
   /** Mention-level pairwise metrics computed at STRING granularity with
@@ -855,13 +888,21 @@ object Pipeline {
         s"dropped by the truth/label joins, ${cov.getLong(2)} strings with " +
         "truth-joined mention count != freq — use the expanded " +
         "labeledPairUniverse + evaluate instead")
+    // Decimal(38,0) weight arithmetic: freq·(freq−1) wraps a signed 64-bit
+    // Long at freq ≳ 3.04e9 — exactly the Zipf-hot frequencies the
+    // weighted form exists for at the 10^12-page design point. Spark
+    // (non-ANSI) wraps silently; decimal sums are exact, and the final
+    // longValueExact() conversions below fail LOUD if a metric genuinely
+    // exceeds Long range instead of going quietly negative.
+    val dec = DecimalType(38, 0)
     val sameAgg = info.agg(
-      // Long arithmetic throughout (`/` would promote to double); the
-      // product is always even, so halving the Long sum is exact
-      coalesce(sum($"freq" * ($"freq" - 1)), lit(0L)).as("same_tp2"),
+      coalesce(sum($"freq".cast(dec) * ($"freq" - 1)), lit(0L).cast(dec))
+        .as("same_tp2"),
       coalesce(sum(when($"n_entities" > 1, 1L).otherwise(0L)), lit(0L)).as("mixed"))
       .collect()(0)
-    val (sameTp, mixed) = (sameAgg.getLong(0) / 2, sameAgg.getLong(1))
+    val sameTp = sameAgg.getDecimal(0).divide(java.math.BigDecimal.valueOf(2))
+      .longValueExact() // product always even: exact halving
+    val mixed = sameAgg.getLong(1)
     require(mixed == 0L,
       s"$mixed interned strings map to multiple entities — the weighted " +
         "evaluation's per-string invariant is violated; use the expanded " +
@@ -872,15 +913,19 @@ object Pipeline {
       .join(info.select($"string_id".as("dst"), $"freq".as("dst_f"),
         $"entity_id".as("dst_e"), $"label".as("dst_l")), Seq("dst"))
       .select(($"src_e" === $"dst_e").as("m"), ($"src_l" === $"dst_l").as("p"),
-        ($"src_f" * $"dst_f").as("w"))
+        ($"src_f".cast(dec) * $"dst_f").as("w")) // decimal: no silent wrap
+    val zero = lit(0L).cast(dec)
     val agg = cross.agg(
-      coalesce(sum(when($"m" && $"p", $"w").otherwise(0L)), lit(0L)).as("tp"),
-      coalesce(sum(when(!$"m" && $"p", $"w").otherwise(0L)), lit(0L)).as("fp"),
-      coalesce(sum(when($"m" && !$"p", $"w").otherwise(0L)), lit(0L)).as("fn"),
-      coalesce(sum($"w"), lit(0L)).as("n")).collect()(0)
+      coalesce(sum(when($"m" && $"p", $"w").otherwise(zero)), zero).as("tp"),
+      coalesce(sum(when(!$"m" && $"p", $"w").otherwise(zero)), zero).as("fp"),
+      coalesce(sum(when($"m" && !$"p", $"w").otherwise(zero)), zero).as("fn"),
+      coalesce(sum($"w"), zero).as("n")).collect()(0)
     info.unpersist()
-    val (tp, fp, fn, n) =
-      (agg.getLong(0) + sameTp, agg.getLong(1), agg.getLong(2), agg.getLong(3) + sameTp)
+    val (tp, fp, fn, n) = (
+      agg.getDecimal(0).longValueExact() + sameTp,
+      agg.getDecimal(1).longValueExact(),
+      agg.getDecimal(2).longValueExact(),
+      agg.getDecimal(3).longValueExact() + sameTp)
     val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
     val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
     val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
@@ -888,18 +933,26 @@ object Pipeline {
   }
 
   /** Pairwise F1 over labeled pairs sharing a blocking key (BASELINE
-    * metric). `universe` = mention-level labeled pairs, `truth` maps
-    * mention_id → entity_id, `labels` maps mention_id → cluster label. */
+    * metric). `universe` = mention-level labeled pairs carrying the full
+    * 128-bit identity per side (src, src2, dst, dst2), `truth` maps
+    * (mention_id, mention_id2) → entity_id, `labels` maps
+    * (id, id2) → cluster label. Every join here keys on BOTH identity
+    * columns (the withMentionIds contract) so a 64-bit collision cannot
+    * fan a pair out and inflate tp/fp. */
   def evaluate(universe: DataFrame, truth: DataFrame, labels: DataFrame): EvalResult = {
     val spark = universe.sparkSession
     import spark.implicits._
-    val t = truth.select($"mention_id", $"entity_id")
-    val l = labels.select($"id".as("mention_id"), $"label")
+    val t = truth.select($"mention_id", $"mention_id2", $"entity_id")
+    val l = labels.select($"id".as("mention_id"), $"id2".as("mention_id2"), $"label")
+    def as(df: DataFrame, side: String, v: String, out: String): DataFrame =
+      df.withColumnRenamed("mention_id", side)
+        .withColumnRenamed("mention_id2", s"${side}2")
+        .withColumnRenamed(v, out)
     val joined = universe
-      .join(t.withColumnRenamed("mention_id", "src").withColumnRenamed("entity_id", "src_e"), Seq("src"))
-      .join(t.withColumnRenamed("mention_id", "dst").withColumnRenamed("entity_id", "dst_e"), Seq("dst"))
-      .join(l.withColumnRenamed("mention_id", "src").withColumnRenamed("label", "src_l"), Seq("src"))
-      .join(l.withColumnRenamed("mention_id", "dst").withColumnRenamed("label", "dst_l"), Seq("dst"))
+      .join(as(t, "src", "entity_id", "src_e"), Seq("src", "src2"))
+      .join(as(t, "dst", "entity_id", "dst_e"), Seq("dst", "dst2"))
+      .join(as(l, "src", "label", "src_l"), Seq("src", "src2"))
+      .join(as(l, "dst", "label", "dst_l"), Seq("dst", "dst2"))
       .select(
         ($"src_e" === $"dst_e").as("is_match"),
         ($"src_l" === $"dst_l").as("predicted"))
@@ -927,9 +980,40 @@ object Pipeline {
       pairs: DataFrame, membership: DataFrame, labels: DataFrame,
       strings: DataFrame, stringLabels: DataFrame)
 
-  /** The timed pipeline: pages → mentions → intern → block → score →
-    * cluster. No evaluation work (truth/universe expansion) — this is the
-    * unit ScalingBench/Bench measure. */
+  /** Resume point for an iteration-checkpoint family: the first iteration
+    * AFTER the highest COMPLETE checkpoint. A directory that merely
+    * exists is not a checkpoint — a job killed mid-write leaves a partial
+    * task-file subset (committer v2 / object stores) or only `_temporary`
+    * (v1); resuming from either silently drops rows from every later
+    * label table. Completeness = the committer's `_SUCCESS` marker
+    * (Iceberg commits atomically — see TableIO.isComplete). Incomplete
+    * leftovers above the resume point are rewritten by the loop's
+    * Overwrite saves. */
+  private def resumePoint(fs: java.io.File, prefix: String): Int = {
+    val done = Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
+      .filter(f => f.getName.startsWith(prefix) &&
+        scala.util.Try(f.getName.stripPrefix(prefix).toInt).isSuccess &&
+        graft.ops.TableIO.isComplete(f.getPath))
+      .map(f => f.getName.stripPrefix(prefix).toInt)
+    if (done.isEmpty) 0 else done.max + 1
+  }
+
+  /** Remove a previous run's iteration checkpoints from the workDir on a
+    * FRESH (non-resume) run: the final checkpoint index varies with the
+    * round count, so a stale higher-indexed table from a longer prior run
+    * would otherwise survive and be read by max-index consumers (the
+    * documented labels contract) in place of this run's output. */
+  private def cleanIterFiles(fs: java.io.File, prefix: String): Unit =
+    Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
+      .filter(f => f.getName.startsWith(prefix) &&
+        scala.util.Try(f.getName.stripPrefix(prefix).toInt).isSuccess)
+      .foreach(deleteRecursively)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   private def timed[T](tag: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body
@@ -938,6 +1022,9 @@ object Pipeline {
     r
   }
 
+  /** The timed pipeline: pages → mentions → intern → block → score →
+    * cluster. No evaluation work (truth/universe expansion) — this is the
+    * unit ScalingBench/Bench measure. */
   def runPipeline(spark: SparkSession, cfg: Config): PipelineOutput = {
     import spark.implicits._
     val pages = Corpus.pages(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()
@@ -986,7 +1073,7 @@ object Pipeline {
         explode(transform(sequence(lit(0), lit(g - 1)), x => x.cast("int"))).as("salt"))
     val labels = saltedMembership
       .join(replicatedLabels, Seq("string_id", "salt"))
-      .select($"mention_id".as("id"), $"label")
+      .select($"mention_id".as("id"), $"mention_id2".as("id2"), $"label")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nClusters = timed("expand") {
       // the membership join is the only job that must run here; count it
@@ -999,6 +1086,15 @@ object Pipeline {
       metrics.size, pairs, membership, labels, strings, stringLabels)
   }
 
+  /** Release a PipelineOutput's persisted frames (pairs, membership,
+    * labels — the three caches runPipeline leaves alive for the caller).
+    * Repeated-run harnesses (Bench min-of-3, TuneMain sweeps) MUST call
+    * this on every output they discard: each leaked mention-scale cache
+    * evicts blocks the next timed run needs. */
+  def release(o: PipelineOutput): Unit = {
+    o.pairs.unpersist(); o.membership.unpersist(); o.labels.unpersist()
+  }
+
   /** Full pipeline + pairwise-F1 evaluation against generator truth. */
   def run(spark: SparkSession, cfg: Config): RunResult = {
     import spark.implicits._
@@ -1007,7 +1103,7 @@ object Pipeline {
       Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF())
     val universe = labeledPairUniverse(out.pairs, out.membership)
     val eval = evaluate(universe, truth, out.labels)
-    out.pairs.unpersist(); out.membership.unpersist()
+    out.pairs.unpersist(); out.membership.unpersist(); out.labels.unpersist()
     RunResult(out.mentions, out.distinctStrings, out.stats,
       out.acceptedPairs, out.clusters, out.iterations, eval)
   }

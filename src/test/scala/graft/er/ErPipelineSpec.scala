@@ -193,7 +193,13 @@ class ErPipelineSpec extends AnyFunSuite {
     val (pairs, stats) = Pipeline.candidatePairs(strings, cfg)
     assert(stats.candidatePairs == pairs.count())
     assert(stats.totalKeys > 0)
-    assert(stats.keptKeys + stats.hotKeysDropped == stats.totalKeys)
+    // keptKeys counts keys that actually generate blocks (2 ≤ pfreq ≤
+    // cap); the remainder besides hot keys is prefix-SINGLETON keys —
+    // grams globally shared but surviving into only one string's 6-slot
+    // prefix after rank truncation. The old `total - hot` identity
+    // overcounted exactly those phantom blocks.
+    assert(stats.keptKeys > 0)
+    assert(stats.keptKeys + stats.hotKeysDropped <= stats.totalKeys)
   }
 
   test("a pathological hot block is capped, logged, and does not hurt recall") {

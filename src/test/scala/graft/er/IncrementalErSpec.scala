@@ -97,7 +97,7 @@ class IncrementalErSpec extends AnyFunSuite {
       Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF())
     val mentionLabels = membershipSoFar
       .join(finalLabels.withColumnRenamed("id", "string_id"), Seq("string_id"))
-      .select($"mention_id".as("id"), $"label")
+      .select($"mention_id".as("id"), $"mention_id2".as("id2"), $"label")
     val eval = Pipeline.evaluate(
       Pipeline.labeledPairUniverse(pairsSoFar, membershipSoFar), truth, mentionLabels)
     assert(eval.f1 >= 0.99, s"incremental F1 gate failed: $eval")
