@@ -59,23 +59,26 @@ object Bench {
     // allocation-heavy phases (THP compaction stalls) even when idle —
     // two samples are not enough to shed an outlier on the one number
     // the driver grades hardest
-    var out0: er.Pipeline.PipelineOutput = null
+    // Every rep's persisted frames are released BEFORE the next rep runs:
+    // a leaked (or even a kept-winner's) mention-scale cache would evict
+    // blocks inside the very window being timed. The frames needed for
+    // evaluation come from ONE untimed run after the loop — keeping a
+    // timed rep's output is also a correctness trap: each fresh run
+    // cleans + rewrites the labels_iter checkpoint files, so a kept
+    // stringLabels frame's file listing goes stale (FileNotFoundException
+    // at evaluation whenever the winner is not the last rep).
     var erSec = Double.MaxValue
     for (_ <- 1 to 3) {
       val erT0 = System.nanoTime()
       val o = er.Pipeline.runPipeline(spark, cfg)
       val s = (System.nanoTime() - erT0) / 1e9
-      // release the LOSING run's persisted frames immediately: a leaked
-      // mention-scale cache per rep would evict blocks inside the very
-      // window being timed
-      if (s < erSec) {
-        if (out0 != null) er.Pipeline.release(out0)
-        erSec = s; out0 = o
-      } else er.Pipeline.release(o)
+      if (s < erSec) erSec = s
+      er.Pipeline.release(o)
     }
-    // untimed metric collection (candidate-pair count is already collected
-    // inside the run; only the mention count is stats-gated)
-    val out = out0.copy(
+    // untimed run for evaluation frames + metric collection (labels are
+    // deterministic — any rep's output is bit-identical to this one's)
+    val outFresh = er.Pipeline.runPipeline(spark, cfg)
+    val out = outFresh.copy(
       mentions = er.Pipeline.extractMentions(
         er.Corpus.pages(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF()).count())
     val truth = er.Pipeline.withMentionIds(

@@ -510,8 +510,7 @@ object Pipeline {
       cfg: Config): (DataFrame, Vector[IterationMetrics]) = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val fs = new java.io.File(cfg.workDir)
-    fs.mkdirs()
+    val (fs, workPath) = hadoopFs(spark, cfg.workDir)
 
     val und0 = edges.select($"src".as("a"), $"dst".as("b"))
       .unionByName(edges.select($"dst".as("a"), $"src".as("b")))
@@ -562,8 +561,15 @@ object Pipeline {
     def labelPath(i: Int) = s"${cfg.workDir}/labels_iter_$i"
 
     val startIter =
-      if (cfg.resume) resumePoint(fs, "labels_iter_")
-      else { cleanIterFiles(fs, "labels_iter_"); 0 }
+      if (cfg.resume) resumePoint(fs, workPath, "labels_iter_")
+      else {
+        // clean BOTH families: stale complete parents_iter_* from an
+        // older forest run in the same workDir would otherwise survive a
+        // fresh generic run and poison a later forest resume
+        cleanIterFiles(fs, workPath, "labels_iter_")
+        cleanIterFiles(fs, workPath, "parents_iter_")
+        0
+      }
 
     // Labels only ever DECREASE under min-propagation, so the exact
     // convergence test "no label changed this round" is equivalent to
@@ -590,7 +596,17 @@ object Pipeline {
 
     val metrics = Vector.newBuilder[IterationMetrics]
     var iter = startIter
-    var converged = false
+    // on resume, PROBE the loaded checkpoint instead of assuming: a prior
+    // run that converged on its last allowed round resumes as already
+    // converged (no confirm round, no spurious exhaustion throw), while a
+    // prior CAPPED run resumes unconverged and — if maxIterations was not
+    // raised — hits the loud exhaustion failure below rather than
+    // silently returning split clusters
+    var converged = startIter > 0 && timed("cluster.resume_probe") {
+      und.join(labels.select($"id".as("b"), $"label".as("lb")), Seq("b"))
+        .join(labels.select($"id".as("a"), $"label".as("la")), Seq("a"))
+        .filter($"lb" < $"la").limit(1).isEmpty
+    }
     try while (!converged && iter < cfg.maxIterations) {
       // two min-label propagation steps per checkpoint round: each round
       // has a fixed scheduling + checkpoint-IO cost that dwarfs the joins
@@ -621,7 +637,10 @@ object Pipeline {
           .write.mode(SaveMode.Overwrite).format(graft.ops.TableIO.format)
           .save(labelPath(iter)) // checkpoint: cuts lineage (Iceberg table when the runtime jar is present)
       }
-      val curSum = obs.get.apply("label_sum").asInstanceOf[java.math.BigDecimal]
+      val curSum = obs.get.apply("label_sum") match {
+        case null => java.math.BigDecimal.ZERO // empty vertex set
+        case s: java.math.BigDecimal => s
+      }
       val checked = graft.ops.TableIO.read(spark, labelPath(iter))
       // per-partition lineage metrics collected to the driver (tiny scan
       // over the just-written checkpoint — also verifies it is readable)
@@ -668,9 +687,11 @@ object Pipeline {
     // FAIL LOUD on iteration exhaustion: returning the last unconverged
     // labels silently splits clusters (members still grouped under
     // intermediate ancestors) — the one failure mode a clustering engine
-    // must never hide. The checkpoints are all on disk, so a rerun with a
-    // higher maxIterations resumes from here.
-    if (!converged && iter > startIter) // loop ran and hit the cap
+    // must never hide. The resume-entry probe above makes this exact:
+    // a resumed-converged run passes, a resumed-capped run with an
+    // unraised maxIterations throws. Checkpoints are on disk, so a rerun
+    // with a higher maxIterations resumes from here.
+    if (!converged)
       throw new IllegalStateException(
         s"cluster: not converged after ${cfg.maxIterations} iterations " +
           s"(workDir=${cfg.workDir}; resume with a higher maxIterations)")
@@ -707,8 +728,7 @@ object Pipeline {
       cfg: Config): (DataFrame, Vector[IterationMetrics]) = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val fs = new java.io.File(cfg.workDir)
-    fs.mkdirs()
+    val (fs, workPath) = hadoopFs(spark, cfg.workDir)
 
     // data-sized loop width (same rationale as `cluster`): one row per
     // satellite, ~2M rows per partition, floor of two waves per core
@@ -725,8 +745,12 @@ object Pipeline {
     def parPath(i: Int) = s"${cfg.workDir}/parents_iter_$i"
     def labelPath(i: Int) = s"${cfg.workDir}/labels_iter_$i"
     val startIter =
-      if (cfg.resume) resumePoint(fs, "parents_iter_")
-      else { cleanIterFiles(fs, "parents_iter_"); cleanIterFiles(fs, "labels_iter_"); 0 }
+      if (cfg.resume) resumePoint(fs, workPath, "parents_iter_")
+      else {
+        cleanIterFiles(fs, workPath, "parents_iter_")
+        cleanIterFiles(fs, workPath, "labels_iter_")
+        0
+      }
 
     var par =
       if (startIter > 0) graft.ops.TableIO.read(spark, parPath(startIter - 1))
@@ -734,7 +758,14 @@ object Pipeline {
 
     val metrics = Vector.newBuilder[IterationMetrics]
     var iter = startIter
-    var converged = false
+    // resume-entry probe (same contract as `cluster`): a resumed
+    // checkpoint is converged iff no parent still has a grandparent —
+    // a resumed-capped run with an unraised maxIterations then hits the
+    // loud exhaustion failure instead of assembling split clusters
+    var converged = startIter > 0 && timed("forest.resume_probe") {
+      par.as("p").join(par.select($"id".as("par"), $"par".as("gpar")), Seq("par"))
+        .filter($"gpar" =!= $"par").limit(1).isEmpty
+    }
     try while (!converged && iter < cfg.maxIterations) {
       val grand = par.select($"id".as("par"), $"par".as("gpar"))
       val jumped = par.join(grand, Seq("par"), "left")
@@ -777,8 +808,9 @@ object Pipeline {
     }
     // FAIL LOUD on iteration exhaustion (same contract as `cluster`):
     // assembling with non-root parents groups members under intermediate
-    // ancestors — silently split clusters
-    if (!converged && iter > startIter)
+    // ancestors — silently split clusters. Exact thanks to the
+    // resume-entry probe above.
+    if (!converged)
       throw new IllegalStateException(
         s"forestLabels: not converged after ${cfg.maxIterations} pointer-" +
           s"doubling rounds (workDir=${cfg.workDir}; resume with a higher " +
@@ -980,21 +1012,48 @@ object Pipeline {
       pairs: DataFrame, membership: DataFrame, labels: DataFrame,
       strings: DataFrame, stringLabels: DataFrame)
 
+  /** Hadoop filesystem for the workDir — java.io.File would silently
+    * no-op on hdfs:///s3a:// workDirs (listFiles returns null), leaving
+    * the stale-checkpoint shadowing live while claiming it fixed, and
+    * making resume silently restart from 0. */
+  private def hadoopFs(spark: SparkSession, workDir: String) = {
+    val p = new org.apache.hadoop.fs.Path(workDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p): Unit
+    (fs, p)
+  }
+
+  private def iterEntries(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, prefix: String)
+      : Vector[(Int, org.apache.hadoop.fs.Path)] =
+    (try fs.listStatus(dir).toVector
+     catch { case _: java.io.FileNotFoundException => Vector.empty })
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix))
+          scala.util.Try(n.stripPrefix(prefix).toInt).toOption
+            .map(i => (i, st.getPath))
+        else None
+      }
+
   /** Resume point for an iteration-checkpoint family: the first iteration
     * AFTER the highest COMPLETE checkpoint. A directory that merely
     * exists is not a checkpoint — a job killed mid-write leaves a partial
     * task-file subset (committer v2 / object stores) or only `_temporary`
     * (v1); resuming from either silently drops rows from every later
     * label table. Completeness = the committer's `_SUCCESS` marker
-    * (Iceberg commits atomically — see TableIO.isComplete). Incomplete
-    * leftovers above the resume point are rewritten by the loop's
-    * Overwrite saves. */
-  private def resumePoint(fs: java.io.File, prefix: String): Int = {
-    val done = Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
-      .filter(f => f.getName.startsWith(prefix) &&
-        scala.util.Try(f.getName.stripPrefix(prefix).toInt).isSuccess &&
-        graft.ops.TableIO.isComplete(f.getPath))
-      .map(f => f.getName.stripPrefix(prefix).toInt)
+    * (requires the default `mapreduce.fileoutputcommitter.marksuccessfuljobs=true`;
+    * Iceberg commits atomically through its metadata layer, so a readable
+    * table IS committed there). Incomplete leftovers above the resume
+    * point are rewritten by the loop's Overwrite saves. */
+  private def resumePoint(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, prefix: String): Int = {
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      if (graft.ops.TableIO.format == "iceberg") fs.exists(p)
+      else fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    val done = iterEntries(fs, dir, prefix).collect {
+      case (i, p) if complete(p) => i
+    }
     if (done.isEmpty) 0 else done.max + 1
   }
 
@@ -1002,17 +1061,16 @@ object Pipeline {
     * FRESH (non-resume) run: the final checkpoint index varies with the
     * round count, so a stale higher-indexed table from a longer prior run
     * would otherwise survive and be read by max-index consumers (the
-    * documented labels contract) in place of this run's output. */
-  private def cleanIterFiles(fs: java.io.File, prefix: String): Unit =
-    Option(fs.listFiles()).map(_.toVector).getOrElse(Vector.empty)
-      .filter(f => f.getName.startsWith(prefix) &&
-        scala.util.Try(f.getName.stripPrefix(prefix).toInt).isSuccess)
-      .foreach(deleteRecursively)
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+    * documented labels contract) in place of this run's output. A failed
+    * delete FAILS LOUD for the same reason — a survivor silently shadows
+    * the new run's output. */
+  private def cleanIterFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, prefix: String): Unit =
+    iterEntries(fs, dir, prefix).foreach { case (_, p) =>
+      if (!fs.delete(p, true) && fs.exists(p))
+        throw new java.io.IOException(
+          s"cannot remove stale checkpoint $p — it would shadow this run's output")
+    }
 
   private def timed[T](tag: String)(body: => T): T = {
     val t0 = System.nanoTime()
@@ -1103,7 +1161,7 @@ object Pipeline {
       Corpus.truth(spark, cfg.nPages, cfg.nEntities, cfg.seed).toDF())
     val universe = labeledPairUniverse(out.pairs, out.membership)
     val eval = evaluate(universe, truth, out.labels)
-    out.pairs.unpersist(); out.membership.unpersist(); out.labels.unpersist()
+    release(out)
     RunResult(out.mentions, out.distinctStrings, out.stats,
       out.acceptedPairs, out.clusters, out.iterations, eval)
   }

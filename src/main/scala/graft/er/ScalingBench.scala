@@ -132,24 +132,26 @@ object ScalingBench {
         workDir = s"/tmp/graft_scaling_$cores", collectStats = false)
       // min-of-2: single runs on a shared box are contention-noisy
       var best = Double.MaxValue
-      var out: Pipeline.PipelineOutput = null
+      // only the candidate-pair COUNT survives the loop (a Long, already
+      // materialized inside the run) — every rep's persisted frames are
+      // released before the next rep so rep 2 isn't timed against rep 1's
+      // mention-scale cached blocks, and no kept frame can reference the
+      // checkpoint files the next rep's fresh run cleans and rewrites
+      var candPairs = -1L
       for (_ <- 1 to 2) {
         val t0 = System.nanoTime()
         val o = Pipeline.runPipeline(spark, cfg)
         val sec = (System.nanoTime() - t0) / 1e9
-        // release the losing rep's caches so rep 2 isn't timed against
-        // rep 1's leaked mention-scale blocks (see Pipeline.release)
-        if (sec < best) {
-          if (out != null) Pipeline.release(out)
-          best = sec; out = o
-        } else Pipeline.release(o)
+        if (sec < best) best = sec
+        candPairs = o.stats.candidatePairs
+        Pipeline.release(o)
       }
       // F1 is NOT evaluated per level: the label outputs are asserted
       // bit-identical across every level below, so the (expensive,
       // untimed) labeled-pair evaluation runs ONCE in the combine session
       // — evaluating it at local[1] burned ~45 min of wall for a number
       // already known from the other levels.
-      Level(cores, best, out.stats.candidatePairs / best, nPages / best)
+      Level(cores, best, candPairs / best, nPages / best)
     } finally {
       spark.stop()
       // allow a fresh master for the next level in the same JVM

@@ -112,25 +112,42 @@ class ErPipelineSpec extends AnyFunSuite {
     val edges = Pipeline.matchEdges(pairs, strings, cfgBase).cache()
     val vertices = strings.select($"string_id")
 
-    // full run
+    // full run on the corpus edges
     val (labelsFull, mFull) = Pipeline.cluster(vertices, edges,
       cfgBase.copy(workDir = dirFull))
-    // interrupted run: stop after 1 iteration...
-    val (_, mPart) = Pipeline.cluster(vertices, edges,
-      cfgBase.copy(workDir = dirPart, maxIterations = 1))
-    assert(mPart.size == 1)
-    // ...then resume from checkpoint
+    // resume from a CONVERGED checkpoint: the resume-entry probe must
+    // certify it without spending a confirm round, and labels must match
     val (labelsResumed, mResumed) = Pipeline.cluster(vertices, edges,
-      cfgBase.copy(workDir = dirPart, resume = true))
-    assert(mResumed.head.iteration == 1, "resume must continue at iteration 1")
+      cfgBase.copy(workDir = dirFull, resume = true))
+    assert(mResumed.isEmpty,
+      "resume from a converged checkpoint must probe, not re-iterate")
     assert(labelsFull.exceptAll(labelsResumed).isEmpty &&
       labelsResumed.exceptAll(labelsFull).isEmpty,
       "resumed labels differ from uninterrupted run")
-    // A resumed run cannot know the checkpointed labels already passed the
-    // in-loop fixpoint probe, so it may spend at most ONE extra confirm
-    // round beyond the uninterrupted iteration count — never fewer rounds.
-    assert(mPart.size + mResumed.size >= mFull.size &&
-      mPart.size + mResumed.size <= mFull.size + 1)
+    assert(mFull.nonEmpty)
+
+    // mid-run interruption needs a graph that CANNOT converge in one
+    // double-propagation round: a 9-vertex chain (min label walks 2 hops
+    // per round). Hitting the cap unconverged must FAIL LOUD (silently
+    // returning intermediate ancestors = split clusters)...
+    val chainEdges = (1L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainVerts = (1L to 9L).map(Tuple1(_)).toDF("id")
+    intercept[IllegalStateException] {
+      Pipeline.cluster(chainVerts, chainEdges,
+        cfgBase.copy(workDir = dirPart, maxIterations = 1))
+    }
+    // ...and resume must pick up AT iteration 1 from the complete
+    // checkpoint and reach the same fixpoint as an uninterrupted run
+    val (chainFull, _) = Pipeline.cluster(chainVerts, chainEdges,
+      cfgBase.copy(workDir = freshDir("resume_chain_full")))
+    val (chainResumed, mChain) = Pipeline.cluster(chainVerts, chainEdges,
+      cfgBase.copy(workDir = dirPart, resume = true))
+    assert(mChain.head.iteration == 1, "resume must continue at iteration 1")
+    assert(chainFull.exceptAll(chainResumed).isEmpty &&
+      chainResumed.exceptAll(chainFull).isEmpty,
+      "chain resumed labels differ from uninterrupted run")
+    assert(chainResumed.select("label").distinct().count() == 1L,
+      "the chain is one component: every vertex must carry label 1")
   }
 
   test("context evidence disambiguates an equidistant satellite (A6 analogue)") {
