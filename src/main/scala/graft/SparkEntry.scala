@@ -135,6 +135,9 @@ object SparkEntry {
     "q52_reverse_streets" -> (ReverseGeo.q52ReverseStreets _),
     "q58_reverse_lookup" -> (ReverseGeo.q58ReverseLookup _),
     "q59_substring_dedup" -> (Dedup.q59SubstringDedup _),
+    // test-set decontamination: eval-gram broadcast semi-join, zero
+    // train-side shuffle before the per-doc agg (GPT-3/PaLM method)
+    "q62_decontaminate" -> (Dedup.q62Decontaminate _),
     // deterministic hash-stratified sampling — the training-data mixing
     // primitive (map-side predicate, reproducible across runs/engines)
     "q53_stratified_sample" -> (Sampling.q53StratifiedSample _),

@@ -338,11 +338,89 @@ object Dedup {
         sum(col("span_len")).as("dup_tokens"))
   }
 
+  /** q62 eval-side hot-gram cap: a normalized W-gram present in more
+    * than this many DISTINCT eval documents is a common phrase /
+    * benchmark boilerplate, not a contamination signal — dropped whole
+    * before the broadcast (the GPT-3 appendix-C "common n-gram"
+    * exclusion rule, Brown et al. 2020; PaLM and Dolma keep the same
+    * rule). The oracle mirrors it as a HAVING on the eval-grams CTE. */
+  val DecontamHotCap = 16L
+
+  /** q62: test-set DECONTAMINATION — flag training documents that share
+    * any normalized W-token n-gram with a held-out evaluation set (the
+    * public exact-collision method: GPT-3 appendix C / PaLM / Dolma use
+    * 13-grams; W here is [[SubstrW]] = 8 so the synthetic corpus
+    * exercises hits). The eval set is the deterministic
+    * doc_id % 97 == 0 stratum of `documents`; a real benchmark table
+    * slots into [[decontaminate]] unchanged.
+    *
+    * 100 TB shape: the eval side is benchmark-sized (MBs at ANY corpus
+    * scale), so its distinct-gram set BROADCASTS; the train side is ONE
+    * map pass (tokenize + window-hash) feeding a broadcast-hash join —
+    * zero train-side shuffle before the per-doc partial agg, and the
+    * join emits only contaminated windows. No winnowing here: unlike
+    * q59's dedup, decontamination must catch EVERY collision (a single
+    * leaked eval n-gram matters), so the train stream hashes all
+    * windows at stride 1 — linear map CPU, the published method's
+    * exact cost. */
+  def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val isEval = pmod(col("doc_id"), lit(97L)) === 0
+    decontaminate(docs.filter(!isEval), docs.filter(isEval))
+  }
+
+  /** Per contaminated train doc: distinct eval grams hit, window hits,
+    * earliest hit position, and the widest eval spread of any hit gram
+    * (how many eval docs share it — 1 = a single benchmark item leaked,
+    * higher = shared eval phrasing). Clean docs emit no row. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def grams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(gf.normalize_text(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= SubstrW)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (SubstrW - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("t"), col("pos"), lit(SubstrW)))
+          .cast("binary")).as("fp"))
+    val evalGrams = grams(evalDocs)
+      .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("n_eval_docs"))
+      .filter(col("n_eval_docs") <= DecontamHotCap)
+    grams(train)
+      .join(broadcast(evalGrams), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_contam_grams"),
+        count(lit(1)).as("n_windows_hit"),
+        min(col("pos")).as("first_pos"),
+        max(col("n_eval_docs")).as("max_eval_docs"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" ->
       """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keeper,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // q62: same tokenization + window-hash CTEs as q59; eval stratum is
+    // doc_id % 97 = 0; hot-gram cap HAVING <= 16 distinct eval docs
+    "q62_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[,;\-/().]', ' ', 'g'), '  +', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(p.p AS INT) AS pos,
+        |    md5(array_to_string(t[p.p : p.p + 7], ' ')) AS fp
+        |  FROM (SELECT * FROM toks WHERE len(t) >= 8) toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS p) p),
+        |ef AS (
+        |  SELECT fp, count(DISTINCT doc_id) AS n_eval_docs
+        |  FROM w WHERE doc_id % 97 = 0
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) <= 16)
+        |SELECT w.doc_id, count(DISTINCT w.fp) AS n_contam_grams,
+        |  count(*) AS n_windows_hit, min(w.pos) AS first_pos,
+        |  CAST(max(ef.n_eval_docs) AS BIGINT) AS max_eval_docs
+        |FROM w JOIN ef ON w.fp = ef.fp
+        |WHERE w.doc_id % 97 <> 0
+        |GROUP BY 1""".stripMargin,
     // q59: tokenization is the q54-proven regex mirror of normalize_text
     // on this corpus; winnowing select = sliding min over K=4 window
     // starts (tail partials included, as in the Spark frame); hot-fp cap

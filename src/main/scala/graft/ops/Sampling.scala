@@ -122,7 +122,8 @@ object Sampling {
         |        WHEN 'de' THEN 23 WHEN 'zh' THEN 37 ELSE 51 END)
         |      * 2654435761) % 4294967296 % 1000 AS bucket
         |  FROM toks t JOIN rates r USING (lang))
-        |SELECT doc_id, lang, n_tokens, total_tokens,
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
         |  CAST(rate_permille AS BIGINT) AS rate_permille,
         |  CAST(bucket AS BIGINT) AS bucket
         |FROM j WHERE bucket < rate_permille""".stripMargin,

@@ -198,4 +198,39 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.substringDedup(many).isEmpty,
       "over-cap boilerplate fingerprints must be dropped whole")
   }
+
+  test("q62 decontamination: a planted shared 8-gram flags the train doc, " +
+      "clean docs emit no row, and over-cap common eval grams are excluded") {
+    import spark.implicits._
+    val leak = (1 to 8).map(i => s"evalq$i").mkString(" ")
+    val evalDocs = Seq(
+      (97L, "benchq a1 a2 " + leak + " tail1 tail2 tail3 tail4 tail5"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, (1 to 10).map(i => s"pre$i").mkString(" ") + " " + leak + " " +
+        (1 to 10).map(i => s"post$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"clean$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalDocs).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L),
+      s"expected exactly the contaminated doc, got ${out.mkString(";")}")
+    val r = out.head
+    // the leak occupies train positions 11-18: exactly ONE full window
+    assert(r.getLong(r.fieldIndex("n_contam_grams")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_windows_hit")) == 1L)
+    assert(r.getInt(r.fieldIndex("first_pos")) == 11)
+    assert(r.getLong(r.fieldIndex("max_eval_docs")) == 1L)
+
+    // hot-gram rule: the same gram across 17 > DecontamHotCap eval docs
+    // is benchmark boilerplate, not signal — excluded before broadcast
+    val common = (1 to 8).map(i => s"comm$i").mkString(" ")
+    def evalN(n: Int) = (1 to n).map(i =>
+      (97L * i, s"e${i}a e${i}b " + common)).toDF("doc_id", "text")
+    val t2 = Seq((5L, "tr1 tr2 tr3 " + common)).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(t2, evalN(17)).isEmpty,
+      "a gram in >DecontamHotCap eval docs must be dropped whole")
+    val hit = Dedup.decontaminate(t2, evalN(16)).collect()
+    assert(hit.length == 1 &&
+      hit.head.getLong(hit.head.fieldIndex("max_eval_docs")) == 16L)
+  }
 }
