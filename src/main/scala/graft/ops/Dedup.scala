@@ -351,7 +351,7 @@ object Dedup {
     * public exact-collision method: GPT-3 appendix C / PaLM / Dolma use
     * 13-grams; W here is [[SubstrW]] = 8 so the synthetic corpus
     * exercises hits). The eval set is the deterministic
-    * doc_id % 97 == 0 stratum of `documents`; a real benchmark table
+    * doc_id % 29 == 0 stratum of `documents`; a real benchmark table
     * slots into [[decontaminate]] unchanged.
     *
     * 100 TB shape: the eval side is benchmark-sized (MBs at ANY corpus
@@ -365,7 +365,7 @@ object Dedup {
     * exact cost. */
   def q62Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val isEval = pmod(col("doc_id"), lit(97L)) === 0
+    val isEval = pmod(col("doc_id"), lit(29L)) === 0
     decontaminate(docs.filter(!isEval), docs.filter(isEval))
   }
 
@@ -400,7 +400,7 @@ object Dedup {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     // q62: same tokenization + window-hash CTEs as q59; eval stratum is
-    // doc_id % 97 = 0; hot-gram cap HAVING <= 16 distinct eval docs
+    // doc_id % 29 = 0; hot-gram cap HAVING <= 16 distinct eval docs
     "q62_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
@@ -413,13 +413,13 @@ object Dedup {
         |    LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS p) p),
         |ef AS (
         |  SELECT fp, count(DISTINCT doc_id) AS n_eval_docs
-        |  FROM w WHERE doc_id % 97 = 0
+        |  FROM w WHERE doc_id % 29 = 0
         |  GROUP BY 1 HAVING count(DISTINCT doc_id) <= 16)
         |SELECT w.doc_id, count(DISTINCT w.fp) AS n_contam_grams,
         |  count(*) AS n_windows_hit, min(w.pos) AS first_pos,
         |  CAST(max(ef.n_eval_docs) AS BIGINT) AS max_eval_docs
         |FROM w JOIN ef ON w.fp = ef.fp
-        |WHERE w.doc_id % 97 <> 0
+        |WHERE w.doc_id % 29 <> 0
         |GROUP BY 1""".stripMargin,
     // q59: tokenization is the q54-proven regex mirror of normalize_text
     // on this corpus; winnowing select = sliding min over K=4 window
