@@ -975,6 +975,47 @@ object ExprKernels {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     out
   }
+
+  /** gram → bitmask over graft.text.LangProfiles.all (bit i = slot i's
+    * language contains the gram; a few grams belong to several languages
+    * — "que" fr/pt, "den"/"gen" de/sv — hence a mask, not an index). */
+  private lazy val profileMask: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    graft.text.LangProfiles.all.zipWithIndex.foreach { case ((_, prof), i) =>
+      prof.foreach { g =>
+        val k = UTF8String.fromString(g)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf(
+          (if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+
+  /** Per-language profile hit counts over a distinct-trigram array — the
+    * fused replacement for 16 interpreted `size(filter(tris, isin(prof)))`
+    * HOF trees per document (the RefBestPhrase/AreaFold lesson, third
+    * instance): ONE hash probe per trigram against the static gram→mask
+    * table, counts identical to the per-language filter sizes because the
+    * input trigram set is distinct. Slot order = LangProfiles.all. */
+  def profileHits(tris: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val c = new Array[Int](graft.text.LangProfiles.all.size)
+    val n = tris.numElements()
+    var i = 0
+    while (i < n) {
+      val msk = profileMask.get(tris.getUTF8String(i))
+      if (msk != null) {
+        var b = msk.intValue()
+        while (b != 0) {
+          c(Integer.numberOfTrailingZeros(b)) += 1
+          b &= b - 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(c)
+  }
 }
 
 /** Canonical match key: normalize + erase_fillers + synonym/postfix alt
@@ -1071,6 +1112,31 @@ case class ScriptCounts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
     copy(child = newChild)
   override def prettyName: String = "script_counts"
+}
+
+/** Per-language profile-trigram hit counts (ExprKernels.profileHits):
+  * array<string> (distinct trigrams) → array<int>[#languages], primitive
+  * (UnsafeArrayData), fully codegen'd — q28's trigram-profile scoring as
+  * one generated pass instead of per-language interpreted filter HOFs. */
+case class ProfileHits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.profileHits(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprKernels.profileHits($c)")
+  override protected def withNewChildInternal(newChild: Expression): ProfileHits =
+    copy(child = newChild)
+  override def prettyName: String = "profile_hits"
 }
 
 /** Fused MinHash signature over normalized text (oracle md5-hex family):

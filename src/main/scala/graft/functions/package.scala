@@ -27,6 +27,10 @@ package object functions {
   /** per-Unicode-script codepoint counts, array<int>[11] (langid gate). */
   def script_counts(c: Column): Column = col(ScriptCounts(ex(c)))
 
+  /** per-language profile-trigram hit counts over a distinct-trigram
+    * array, array<int>[#languages] (slot order graft.text.LangProfiles.all). */
+  def profile_hits(c: Column): Column = col(ProfileHits(ex(c)))
+
   /** distinct space-skipping byte bigrams packed to u16 ints. */
   def bigram_keys(c: Column): Column = col(BigramKeys(ex(c)))
 
@@ -132,6 +136,7 @@ package object functions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("point_in_ring", es => PointInRing(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_band_vals", es => LshBandVals(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("profile_hits", es => ProfileHits(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("html_text", es => HtmlText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("html_links", es => HtmlLinks(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_md5", es => MinhashMd5(es.head), "scala_udf")

@@ -235,13 +235,13 @@ object Components {
     * connected components; label = min reachable name_id. */
   def q33Components(spark: SparkSession, dir: String): DataFrame = {
     val (interned, edges) = nameGraph(spark, dir)
-    connectedComponents(interned.select(col("name_id").as("id")), edges)
+    starContractedComponents(interned.select(col("name_id").as("id")), edges)
       .select(col("id").as("name_id"), col("label"))
   }
 
   /** The q33 match graph as data: interned part names + JW-accepted
     * blocking edges (shared by q33 and the incremental variant q45). */
-  private[ops] def nameGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def nameGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val interned = Caches.persist(load(spark, dir, "part")
       .select(gf.normalize_text(col("p_name")).as("name"), col("p_partkey"))
       .groupBy(col("name")).agg(min(col("p_partkey")).as("name_id")))
@@ -292,7 +292,7 @@ object Components {
     val (interned, edges) = nameGraph(spark, dir)
     val oldEdges = edges.filter(pmod(col("src") + col("dst"), lit(2)) === 0)
     val newEdges = edges.filter(pmod(col("src") + col("dst"), lit(2)) === 1)
-    val prior = connectedComponents(
+    val prior = starContractedComponents(
       interned.select(col("name_id").as("id")), oldEdges)
     incrementalComponents(prior, newEdges)
       .select(col("id").as("name_id"), col("label"))

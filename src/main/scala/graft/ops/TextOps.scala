@@ -113,58 +113,15 @@ object TextOps {
 
   private val enStop = Seq("the", "a", "and", "of", "to", "value", "data")
 
-  /** Char-trigram language profiles (Cavnar–Trenkle-style, deterministic):
-    * the most frequent DISTINCTIVE space-free trigrams of each language,
-    * derived from its function words, written in POST-NORMALIZE space
-    * (casefolded, diacritics stripped: ção→cao, för→for, ї→і). Shared
-    * n-grams ("ent", "ion") are deliberately excluded so profiles
-    * discriminate instead of overlap. Profiles only disambiguate WITHIN
-    * a script — the script gate (script_counts) routes first. */
-  private[ops] val latinProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "ing", "hat", "tha", "thi", "his", "ith",
-      "wit", "you", "all", "are", "was", "hav", "not", "for", "oul", "uld",
-      "ght", "ere"),
-    "de" -> Seq("der", "die", "das", "und", "ein", "ich", "sch", "cht",
-      "den", "ung", "gen", "ber", "hen", "nde", "ist", "auf", "mit", "ach",
-      "eit", "zur"),
-    "fr" -> Seq("les", "des", "que", "est", "une", "ait", "our", "ous",
-      "ans", "dan", "ett", "eur", "ave", "vec", "pas", "sur", "ais", "qui",
-      "dec", "ses"),
-    "es" -> Seq("los", "las", "del", "con", "por", "una", "par", "ara",
-      "ado", "cio", "ion", "nto", "com", "sta", "ien", "aba", "ndo", "ega",
-      "nos", "tra"),
-    "it" -> Seq("che", "gli", "zio", "lla", "tto", "nno", "ono", "ita",
-      "tal", "lia", "ano", "ore", "olt", "lto", "ssi", "osa", "piu", "tut",
-      "ell"),
-    "pt" -> Seq("cao", "oes", "nao", "voc", "oce", "lho", "nha", "eir",
-      "ira", "mos", "amo", "dos", "das", "ele", "seu", "sua", "sso", "bem",
-      "tem", "uem", "ond", "inh", "que"),
-    "nl" -> Seq("het", "een", "nie", "iet", "aar", "ijn", "zij", "maa",
-      "daa", "oor", "gee", "elk", "waa", "jke", "erl", "rla", "ken", "nen",
-      "ede", "van", "aan", "ond", "gaa", "uis", "ijk"),
-    "sv" -> Seq("och", "att", "det", "som", "ett", "int", "nte", "til",
-      "ite", "kan", "ska", "ans", "fra", "lig", "iga", "nge", "ver", "sve",
-      "ade", "den", "gen", "all"),
-    "pl" -> Seq("prz", "rze", "ego", "ych", "owa", "ani", "eni", "czy",
-      "szy", "sze", "dzi", "iej", "ski", "pol", "ach", "owy"),
-    "tr" -> Seq("bir", "lar", "ler", "dir", "mek", "mak", "yor", "iyo",
-      "ile", "kad", "nda", "ini", "tur", "urk", "rki", "iye", "sin", "lik"),
-    "ro" -> Seq("ulu", "lui", "cea", "ele", "rom", "oma", "ati", "tii",
-      "ntr", "tru", "pen", "dea", "ste", "ria", "uri", "ara", "eni", "cat"),
-    "id" -> Seq("ang", "yan", "men", "kan", "ada", "itu", "ter", "nya",
-      "aka", "dan", "dal", "ind", "nes", "ora", "ran", "gan"))
-
-  private[ops] val cyrillicProfiles: Seq[(String, Seq[String])] = Seq(
-    "bg" -> Seq("ата", "ите", "ото", "пре", "ста", "ния", "ени", "ато",
-      "ова", "ква", "про", "ост", "ват", "ане", "кат", "ето", "ива", "тел",
-      "раз", "нат"),
-    "ru" -> Seq("что", "это", "ого", "его", "ств", "ать", "ить", "тся",
-      "етс", "льн", "ски", "рус", "осс", "жет", "кто", "тот", "дет", "ает",
-      "дом"),
-    "uk" -> Seq("ння", "ної", "ськ", "цьк", "іст", "іна", "раі", "укр",
-      "ідн", "від", "іль", "ься", "ому", "іти", "ідо", "шли", "ніж"),
-    "sr" -> Seq("ије", "јед", "ање", "ење", "има", "срб", "рби", "ући",
-      "ашњ", "дин", "вањ", "ошт"))
+  /** Char-trigram language profiles — the single definition lives in
+    * [[graft.text.LangProfiles]] (shared with the fused profile_hits
+    * codegen kernel, whose count-array slot order is LangProfiles.all =
+    * latin ++ cyrillic); these aliases keep the q28 oracle generator and
+    * TextAnalysisSpec unchanged. */
+  private[ops] val latinProfiles: Seq[(String, Seq[String])] =
+    graft.text.LangProfiles.latin
+  private[ops] val cyrillicProfiles: Seq[(String, Seq[String])] =
+    graft.text.LangProfiles.cyrillic
 
   /** Script-gated language-ID (24 languages): a fused one-pass
     * script_counts expression tallies codepoints per Unicode script; the
@@ -184,8 +141,18 @@ object TextOps {
   /** The classifier over any (doc_id, text) frame — unit-testable on
     * multilingual samples (TextAnalysisSpec). */
   private[graft] def langIdOn(docs: DataFrame): DataFrame = {
+    // ONE fused codegen pass computes all 16 per-language profile hit
+    // counts (gf.profile_hits over the distinct trigram set — hash probe
+    // per trigram); the per-language decision columns below are plain
+    // element_at reads of that array. This replaces 16 interpreted
+    // `size(filter(tris, isin(profile)))` HOF trees per document (352
+    // lambdafunction spans in the round-5 plan) with zero lambdas —
+    // the RefBestPhrase/AreaFold codegen-kernel rule, third instance.
+    // Counts are identical: the trigram set is distinct, so hash-probe
+    // membership counting == the per-language filter size.
     val d = docs
-      .withColumn("tris", trigramStrings(gf.normalize_text(col("text"))))
+      .withColumn("ph",
+        gf.profile_hits(trigramStrings(gf.normalize_text(col("text")))))
       .withColumn("sc", gf.script_counts(col("text")))
     def scAt(i: Int) = element_at(col("sc"), i)
     val groupCounts: Seq[(String, Column)] = Seq(
@@ -197,9 +164,11 @@ object TextOps {
     val scriptPred = groupCounts.foldRight(lit("none"): Column) {
       case ((g, c), els) => when(c === m && m > 0, lit(g)).otherwise(els)
     }
-    def profilePred(profs: Seq[(String, Seq[String])]): (Column, Column) = {
-      val hits = profs.map { case (lang, prof) =>
-        lang -> size(filter(col("tris"), t => t.isin(prof.map(x => x: Any): _*)))
+    // slot i (1-based) of `ph` = LangProfiles.all(i-1); latin occupies
+    // slots 1..12, cyrillic 13..16 — same first-match tie order as before
+    def profilePred(profs: Seq[(String, Seq[String])], offset: Int): (Column, Column) = {
+      val hits = profs.zipWithIndex.map { case ((lang, _), i) =>
+        lang -> element_at(col("ph"), offset + i + 1)
       }
       val best = hits.map(_._2).reduce(greatest(_, _))
       val pred = hits.foldRight(lit("xx"): Column) { case ((lang, h), els) =>
@@ -207,8 +176,8 @@ object TextOps {
       }
       (pred, greatest(best, lit(0)))
     }
-    val (latinPred, latinBest) = profilePred(latinProfiles)
-    val (cyrPred, cyrBest) = profilePred(cyrillicProfiles)
+    val (latinPred, latinBest) = profilePred(latinProfiles, 0)
+    val (cyrPred, cyrBest) = profilePred(cyrillicProfiles, latinProfiles.size)
     val base = d
       .withColumn("script_pred", scriptPred)
       .withColumn("script_chars",
