@@ -233,13 +233,19 @@ object Pipeline {
     // a freq-1 gram can never generate a pair, yet typo-created grams are
     // exactly the globally-rarest ones — letting them occupy prefix slots
     // crowds out the shared grams that actually recall the pair.
+    // top-K selection by hash aggregate instead of a row_number window:
+    // the window form sorts the WHOLE keyed-gram table by
+    // (string_id, cnt, key); the aggregate form hash-groups and sorts
+    // ~20 elements per group — same selected set (array_sort on
+    // struct(cnt, key) is the same lexicographic (cnt asc, key asc)
+    // order the window used; slice keeps the first prefixKeys).
     val prefixed = keyed
       .join(freq.filter($"cnt" >= 2), Seq("key"))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"string_id").orderBy($"cnt".asc, $"key".asc)))
-      .filter($"rnk" <= cfg.prefixKeys)
-      .select($"string_id", $"key")
+      .groupBy($"string_id")
+      .agg(slice(array_sort(collect_list(struct($"cnt", $"key"))),
+        1, cfg.prefixKeys).as("topk"))
+      .select($"string_id", explode($"topk").as("e"))
+      .select($"string_id", $"e.key".as("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val pfreq = prefixed.groupBy($"key").agg(count(lit(1)).as("cnt"))
