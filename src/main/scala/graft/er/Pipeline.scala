@@ -648,25 +648,30 @@ object Pipeline {
         case s: java.math.BigDecimal => s
       }
       val checked = graft.ops.TableIO.read(spark, labelPath(iter))
-      // per-partition lineage metrics collected to the driver (tiny scan
-      // over the just-written checkpoint — also verifies it is readable)
-      val perPartition = timed(s"cluster.metrics_$iter") {
-        checked
-          .groupBy(spark_partition_id().as("partition_id"))
-          .agg(count(lit(1)).as("rows"))
-          .collect()
-      }
       val delta = prevSum.subtract(curSum)
-      val rows = perPartition.map(_.getLong(1)).sum
-      metrics += IterationMetrics(iter, delta, rows, perPartition.length)
-      // per-partition lineage metrics as JSON lines via NIO — durable per
-      // iteration (resumable) without spinning a Spark job for a 32-row
-      // write (was ~0.5 s/iteration of pure scheduling overhead)
-      val metricsJson = perPartition.sortBy(_.getInt(0)).map(r =>
-        s"""{"iteration":$iter,"partition_id":${r.getInt(0)},""" +
-          s""""rows":${r.getLong(1)},"label_delta":"$delta"}""").mkString("", "\n", "\n")
-      Files.writeString(
-        Paths.get(s"${cfg.workDir}/label_metrics_iter_$iter.jsonl"), metricsJson)
+      // per-partition lineage metrics are METRIC-ONLY work (one extra scan
+      // + collect per round) — gated on cfg.collectStats like every other
+      // stats action, per the Config contract; production keeps the JSONL
+      if (cfg.collectStats) {
+        val perPartition = timed(s"cluster.metrics_$iter") {
+          checked
+            .groupBy(spark_partition_id().as("partition_id"))
+            .agg(count(lit(1)).as("rows"))
+            .collect()
+        }
+        val rows = perPartition.map(_.getLong(1)).sum
+        metrics += IterationMetrics(iter, delta, rows, perPartition.length)
+        // per-partition lineage metrics as JSON lines via NIO — durable per
+        // iteration (resumable) without spinning a Spark job for a 32-row
+        // write (was ~0.5 s/iteration of pure scheduling overhead)
+        val metricsJson = perPartition.sortBy(_.getInt(0)).map(r =>
+          s"""{"iteration":$iter,"partition_id":${r.getInt(0)},""" +
+            s""""rows":${r.getLong(1)},"label_delta":"$delta"}""").mkString("", "\n", "\n")
+        Files.writeString(
+          Paths.get(s"${cfg.workDir}/label_metrics_iter_$iter.jsonl"), metricsJson)
+      } else {
+        metrics += IterationMetrics(iter, delta, -1L, -1)
+      }
 
       labels = checked.select($"id", $"label")
       // The zero-delta test only certifies convergence one full round
@@ -789,18 +794,27 @@ object Pipeline {
         case l: java.lang.Long => l.longValue()
       }
       val checked = graft.ops.TableIO.read(spark, parPath(iter))
-      val perPartition = timed(s"forest.metrics_$iter") {
-        checked.groupBy(spark_partition_id().as("partition_id"))
-          .agg(count(lit(1)).as("rows")).collect()
+      // per-partition lineage metrics are METRIC-ONLY work (one extra scan
+      // + collect per round) — gated on cfg.collectStats like every other
+      // stats action, per the Config contract ("false = skip all
+      // metric-only actions"); production runs keep the JSONL
+      if (cfg.collectStats) {
+        val perPartition = timed(s"forest.metrics_$iter") {
+          checked.groupBy(spark_partition_id().as("partition_id"))
+            .agg(count(lit(1)).as("rows")).collect()
+        }
+        val rows = perPartition.map(_.getLong(1)).sum
+        metrics += IterationMetrics(
+          iter, java.math.BigDecimal.valueOf(advanced), rows, perPartition.length)
+        val metricsJson = perPartition.sortBy(_.getInt(0)).map(r =>
+          s"""{"iteration":$iter,"partition_id":${r.getInt(0)},""" +
+            s""""rows":${r.getLong(1)},"advanced":$advanced}""").mkString("", "\n", "\n")
+        Files.writeString(
+          Paths.get(s"${cfg.workDir}/parent_metrics_iter_$iter.jsonl"), metricsJson)
+      } else {
+        metrics += IterationMetrics(
+          iter, java.math.BigDecimal.valueOf(advanced), -1L, -1)
       }
-      val rows = perPartition.map(_.getLong(1)).sum
-      metrics += IterationMetrics(
-        iter, java.math.BigDecimal.valueOf(advanced), rows, perPartition.length)
-      val metricsJson = perPartition.sortBy(_.getInt(0)).map(r =>
-        s"""{"iteration":$iter,"partition_id":${r.getInt(0)},""" +
-          s""""rows":${r.getLong(1)},"advanced":$advanced}""").mkString("", "\n", "\n")
-      Files.writeString(
-        Paths.get(s"${cfg.workDir}/parent_metrics_iter_$iter.jsonl"), metricsJson)
       par = checked
       // fixpoint iff no parent still has a parent; probing after an
       // advancing round saves the pure confirm round (early-out limit 1)
@@ -839,7 +853,12 @@ object Pipeline {
     // and the read-back cuts the assembly lineage before the
     // corpus-sized membership-expand join reuses the frame.
     timed(s"forest.labels_write") {
-      assembled.write.mode(SaveMode.Overwrite)
+      // data-sized write width (same loopParts formula as the rounds):
+      // the assembly joins run at session width for parallelism, but the
+      // label table itself is string-sized — committing 32 near-empty
+      // files costs more than the rows; coalesce merges post-join without
+      // reshuffling. At corpus scale loopParts is thousands — unchanged.
+      assembled.coalesce(loopParts).write.mode(SaveMode.Overwrite)
         .format(graft.ops.TableIO.format).save(labelPath(iter))
     }
     (graft.ops.TableIO.read(spark, labelPath(iter)), metrics.result())
