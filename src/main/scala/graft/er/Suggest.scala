@@ -210,10 +210,16 @@ object Suggest {
     val persistLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
     // ---- stage 6: attach entity attrs, split branches, K2 bound
+    // ONE explicit exchange on query_id serves every per-query stage from
+    // here down (guide §2.4): hash(query_id) satisfies the clustered
+    // distribution of the (query_id, kind) K2 window, the stage-7 hn
+    // aggregation, the (query_id, location) dup-mark window and the final
+    // per-query top-n — without it each window inserted its own exchange.
     val scored = bestPhrase
       .join(entities, Seq("entity_id"))
       .join(q.select(col("query_id"), col("tokens"), col("all_mask"),
         col("phrases")), Seq("query_id"))
+      .repartition(col("query_id"))
       .withColumn("srnk", row_number().over(
         Window.partitionBy(col("query_id"), col("kind"))
           .orderBy(col("b.score").asc, col("entity_id"))))
