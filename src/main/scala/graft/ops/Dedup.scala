@@ -354,11 +354,16 @@ object Dedup {
     * doc_id % 29 == 0 stratum of `documents`; a real benchmark table
     * slots into [[decontaminate]] unchanged.
     *
-    * 100 TB shape: the eval side is benchmark-sized (MBs at ANY corpus
-    * scale), so its distinct-gram set BROADCASTS; the train side is ONE
-    * map pass (tokenize + window-hash) feeding a broadcast-hash join —
-    * zero train-side shuffle before the per-doc partial agg, and the
-    * join emits only contaminated windows. No winnowing here: unlike
+    * 100 TB shape: a real eval side is benchmark-sized (MBs at ANY
+    * corpus scale), so its distinct-gram set BROADCASTS; the train side
+    * is ONE map pass (tokenize + window-hash) feeding a broadcast-hash
+    * join — zero train-side shuffle before the per-doc partial agg, and
+    * the join emits only contaminated windows. NOTE (ADVICE r5): this
+    * driver demo's modular doc_id stratum is a stand-in that grows WITH
+    * the corpus — the broadcast claim holds only for a genuinely
+    * benchmark-sized eval table passed to [[decontaminate]]; a caller
+    * with a corpus-scale "eval" side should swap the forced broadcast
+    * for a shuffle join (or size-check before broadcasting). No winnowing here: unlike
     * q59's dedup, decontamination must catch EVERY collision (a single
     * leaked eval n-gram matters), so the train stream hashes all
     * windows at stride 1 — linear map CPU, the published method's
