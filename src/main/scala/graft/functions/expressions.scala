@@ -976,6 +976,77 @@ object ExprKernels {
     out
   }
 
+  /** Fused q59 winnowing selection — per document, entirely map-side:
+    * window fingerprints fp(p) = md5_hex(tokens[p..p+W-1] joined by " ")
+    * for every 1-based window start p; then the winnowing selection
+    * m(p) = min over q ∈ [p, min(p+K-1, last)] of struct(fp(q), q)
+    * (lexicographic — hex compare == unsigned digest compare, pos breaks
+    * digest ties); then per distinct selected fp the minimum selected
+    * pos. Byte-identical to the declarative
+    * explode → min(struct) OVER (doc ROWS 0..K-1) → groupBy(doc, fp)
+    * min(pos) pipeline it replaces — but with ZERO exchange: the former
+    * shape shuffled every window hash of the corpus by doc_id just to
+    * run a per-doc sliding min, which at 100 TB is a full-corpus shuffle
+    * for a computation that never leaves the row. Returns null for docs
+    * with fewer than W tokens (the declarative filter's row drop). */
+  def winnowFps(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int, k: Int): GenericArrayData = {
+    val n = toks.numElements()
+    if (n < w) return null
+    val nw = n - w + 1
+    // window digests (16-byte md5 of the UTF-8 window text)
+    val md = md5Local.get()
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tokBytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val digests = new Array[Array[Byte]](nw)
+    var p = 0
+    while (p < nw) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tokBytes(p + j))
+        j += 1
+      }
+      digests(p) = md.digest()
+      p += 1
+    }
+    // winnowing selection + per-fp min selected pos in one pass
+    val minPos = new java.util.LinkedHashMap[UTF8String, Integer]()
+    p = 0
+    while (p < nw) {
+      var bestQ = p
+      var q = p + 1
+      val hi = math.min(p + k - 1, nw - 1)
+      while (q <= hi) {
+        // strictly-less keeps the earliest position on digest ties —
+        // exactly min(struct(fp, pos)) over the frame
+        if (unsignedLess(digests(q), digests(bestQ))) bestQ = q
+        q += 1
+      }
+      val key = hex(digests(bestQ))
+      val pos = bestQ + 1 // 1-based, as the declarative sequence(1, ...)
+      val prev = minPos.get(key)
+      if (prev == null || pos < prev.intValue())
+        minPos.put(key, Integer.valueOf(pos))
+      p += 1
+    }
+    val out = new Array[Any](minPos.size)
+    val it = minPos.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey, e.getValue.intValue())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** gram → bitmask over graft.text.LangProfiles.all (bit i = slot i's
     * language contains the gram; a few grams belong to several languages
     * — "que" fr/pt, "den"/"gen" de/sv — hence a mask, not an index). */
@@ -1112,6 +1183,43 @@ case class ScriptCounts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
     copy(child = newChild)
   override def prettyName: String = "script_counts"
+}
+
+/** Fused winnowing fingerprint selection (ExprKernels.winnowFps):
+  * token array → array<struct<fp: string, pos: int>> of the selected
+  * window fingerprints with their earliest selected 1-based positions;
+  * null below W tokens. Map-side replacement for the
+  * explode → sliding-min window → groupBy selection pipeline of q59. */
+case class WinnowFps(child: Expression, w: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.winnowFps(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftWf")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  graft.functions.ExprKernels.winnowFps($c, $w, $k);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fps"
 }
 
 /** Per-language profile-trigram hit counts (ExprKernels.profileHits):

@@ -31,6 +31,10 @@ package object functions {
     * array, array<int>[#languages] (slot order graft.text.LangProfiles.all). */
   def profile_hits(c: Column): Column = col(ProfileHits(ex(c)))
 
+  /** fused winnowing fingerprint selection over a token array:
+    * array<struct<fp, pos>> of selected window fingerprints (q59 core). */
+  def winnow_fps(c: Column, w: Int, k: Int): Column = col(WinnowFps(ex(c), w, k))
+
   /** distinct space-skipping byte bigrams packed to u16 ints. */
   def bigram_keys(c: Column): Column = col(BigramKeys(ex(c)))
 

@@ -290,26 +290,19 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), split(gf.normalize_text(col("text")), " ").as("t"))
       .filter(size(col("t")) >= SubstrW)
-    val windows = toks
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")) - (SubstrW - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("t"), col("pos"), lit(SubstrW)))
-          .cast("binary")).as("fp"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // winnowing: the min fingerprint of each K-window of consecutive
-    // window hashes, with its position carried THROUGH the frame min as
-    // a lexicographic (fp, pos) struct — one pass, no join-back. (A
-    // join-back form — select fps, re-scan windows for positions — is
-    // equivalent but re-tokenizes and re-hashes the whole corpus a
-    // second time: at web scale the window hashing is the dominant map
-    // CPU, so the selection must be single-scan.) Per (doc, fp) the
-    // recorded pos is the earliest K-window run that SELECTED it.
-    val selPos = windows
-      .withColumn("m", min(struct(col("fp"), col("pos")))
-        .over(byDoc.rowsBetween(0, SubstrK - 1)))
-      .groupBy(col("doc_id"), col("m.fp").as("fp"))
-      .agg(min(col("m.pos")).as("pos"))
+    // winnowing selection as ONE fused map-side kernel (gf.winnow_fps /
+    // ExprKernels.winnowFps): window md5s, the K-run sliding min (struct
+    // (fp, pos) lexicographic — earliest position on ties) and the per-fp
+    // earliest selected position all happen inside the row. The former
+    // declarative form exploded every window hash and SHUFFLED it by
+    // doc_id just to run the per-doc sliding-min window + groupBy — a
+    // full-corpus exchange at scale for a computation that never needs to
+    // leave the document (byte-equality with that form is pinned by
+    // DedupSpec and the unchanged q59 oracle hash).
+    val selPos = toks
+      .select(col("doc_id"),
+        explode(gf.winnow_fps(col("t"), SubstrW, SubstrK)).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
     // hot-fingerprint cap: a license header shared by millions of docs
     // must not go quadratic — over-cap fps dropped whole (oracle HAVING)
     val kept = selPos.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))

@@ -199,6 +199,49 @@ class DedupSpec extends AnyFunSuite {
       "over-cap boilerplate fingerprints must be dropped whole")
   }
 
+  test("winnow_fps kernel is byte-equal to the declarative " +
+      "explode→sliding-min→groupBy winnowing it replaced") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    import graft.{functions => gf}
+    // corpus with internal repeats (same fp at several window positions —
+    // exercises the per-fp min-pos rule), near-threshold lengths (7, 8,
+    // 9 tokens), and an LCG-shuffled vocabulary so digest ties in the
+    // K-run are possible across positions
+    var s = 7L
+    def nxt(n: Int): Int = {
+      s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      (s % n).toInt
+    }
+    val docs = (1L to 40L).map { id =>
+      val len = 7 + nxt(60)
+      val toks = (0 until len).map(_ => s"w${nxt(12)}")
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), split(gf.normalize_text(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= Dedup.SubstrW)
+    val kernel = toks
+      .select(col("doc_id"),
+        explode(gf.winnow_fps(col("t"), Dedup.SubstrW, Dedup.SubstrK)).as("x"))
+      .select(col("doc_id"), col("x.fp").as("fp"), col("x.pos").as("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val declarative = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (Dedup.SubstrW - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("t"), col("pos"), lit(Dedup.SubstrW)))
+          .cast("binary")).as("fp"))
+      .withColumn("m", min(struct(col("fp"), col("pos")))
+        .over(byDoc.rowsBetween(0, Dedup.SubstrK - 1)))
+      .groupBy(col("doc_id"), col("m.fp").as("fp"))
+      .agg(min(col("m.pos")).as("pos"))
+    assert(kernel.exceptAll(declarative).isEmpty &&
+      declarative.exceptAll(kernel).isEmpty,
+      "winnow_fps diverges from the declarative winnowing selection")
+  }
+
   test("q62 decontamination: a planted shared 8-gram flags the train doc, " +
       "clean docs emit no row, and over-cap common eval grams are excluded") {
     import spark.implicits._
