@@ -36,6 +36,23 @@ object BenchExtra {
           case "@q33graph" =>
             val (interned, edges) = ops.Components.nameGraph(spark, sfDir)
             interned.count(); edges.count()
+          case "@erplan" =>
+            // pruning audit: does the matchEdges path evaluate columns the
+            // accept gate does not need (jw) per candidate pair?
+            val cfgP = er.Pipeline.Config(nPages = 500, nEntities = 100,
+              workDir = "/tmp/graft_benchextra_erp")
+            val pages = er.Corpus.pages(spark, cfgP.nPages, cfgP.nEntities, cfgP.seed).toDF()
+            val mentions = er.Pipeline.extractMentions(pages)
+            val (strings, _) = er.Pipeline.internStrings(mentions)
+            val (pairs, _) = er.Pipeline.candidatePairs(strings, cfgP)
+            val plan = er.Pipeline.matchEdges(pairs, strings, cfgP)
+              .queryExecution.executedPlan.toString
+            println("[erplan] jaro_winkler=" + "jaro_winkler".r.findAllIn(plan).size +
+              " zip_with=" + "zip_with".r.findAllIn(plan).size +
+              " sift4=" + "sift4".r.findAllIn(plan).size +
+              " levenshtein=" + "levenshtein".r.findAllIn(plan).size)
+            plan.split("\n").filter(l => l.contains("Filter") || l.contains("Project"))
+              .take(12).foreach(l => println("[erplan] " + l.take(400)))
           case "@erblock" =>
             // blocking-stage decomposition: materialize each sub-stage of
             // candidatePairs in isolation (separate sessions of the same
