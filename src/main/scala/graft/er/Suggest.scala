@@ -246,7 +246,14 @@ object Suggest {
         col("p.bits").as("bits"), col("hn"))).as("h"))
 
     // ---- stages 7/8: area assembly (A6) + branch bonuses (X8-X12)
+    // the hn join re-partitions by (query_id, entity_id) — one explicit
+    // query_id repartition here serves BOTH remaining windows (the
+    // (query_id, location) dup-mark and the (query_id) top-n; a
+    // (q, loc) hash does NOT satisfy a (q) clustering, so each otherwise
+    // inserts its own exchange — guide §2.4, verified in the formatted
+    // plans: 2 ENSURE_REQUIREMENTS exchanges replaced by 1 repartition)
     val withHn = scored.join(hnBest, Seq("query_id", "entity_id"), "left")
+      .repartition(col("query_id"))
     val maskAfterHn = when(col("h").isNotNull,
       col("b.bits").bitwiseOR(col("h.bits"))).otherwise(col("b.bits"))
     val assembled = withHn
