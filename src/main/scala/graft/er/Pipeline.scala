@@ -442,7 +442,23 @@ object Pipeline {
       mentions: Option[DataFrame] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val scored = scorePairs(pairs, strings, cfg).filter($"accepted")
+    // Cheap-gate PRE-filter before the full scorer: the banded Levenshtein
+    // at the cap is a NECESSARY condition of `accepted` (which requires
+    // lev ∈ [0, lev_max] with lev_max ≤ levMaxCap), so filtering lev ≥ 0
+    // first drops no accepted edge — it keeps sift4/token-gate/projection
+    // work off the vast majority of candidate pairs the distance gate
+    // rejects anyway (the scorer columns were previously projected for
+    // every candidate pair because `sift` is needed downstream). scorePairs
+    // itself stays unfiltered — TuneMain/DebugSplits analyze rejected
+    // pairs through it.
+    val keys = strings.select($"string_id", $"match_key")
+    val withKeys = pairs
+      .join(keys.withColumnRenamed("string_id", "src")
+        .withColumnRenamed("match_key", "src_key"), Seq("src"))
+      .join(keys.withColumnRenamed("string_id", "dst")
+        .withColumnRenamed("match_key", "dst_key"), Seq("dst"))
+      .filter(levenshtein($"src_key", $"dst_key", cfg.levMaxCap) >= 0)
+    val scored = scoreKeyed(withKeys, cfg).filter($"accepted")
     val freqs = strings.select($"string_id", $"freq")
     val withF = scored
       .join(freqs.withColumnRenamed("string_id", "src").withColumnRenamed("freq", "src_freq"), Seq("src"))
