@@ -14,10 +14,9 @@ object Tables {
     * FileStatusCache, keyed per session so tests with their own sessions
     * stay isolated). */
   private val plans =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    plans.computeIfAbsent(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+    plans.computeIfAbsent((spark, s"$dir/$name.parquet"),
       k => spark.read.parquet(k._2))
 }
