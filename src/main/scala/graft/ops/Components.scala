@@ -159,13 +159,20 @@ object Components {
         par = jumped.select(col("id"), col("par"))
       }
       val lab = par.select(col("id"), col("par").as("label"))
-      // residual: edges crossing phase-1 trees, contracted to label space
+      // residual: edges crossing phase-1 trees, contracted to label space.
+      // NO checkpoint: viol is consumed EAGERLY on both paths below (the
+      // isEmpty probe; on the rare non-empty path the inner loop's own
+      // edge count) while `und` is still persisted, and the RETURNED plan
+      // never references it — the inner connectedComponents' result is
+      // built from its own checkpoints plus `lab` (checkpointed above).
+      // The former eager localCheckpoint was one whole extra job per
+      // closure call to materialize a frame that is empty in the common
+      // case.
       val viol = und
         .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
         .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
         .filter(col("la") =!= col("lb"))
         .select(col("la").as("src"), col("lb").as("dst")).distinct()
-        .localCheckpoint(true)
       val resolved =
         if (viol.isEmpty) lab
         else {
@@ -177,9 +184,11 @@ object Components {
             .select(col("id"), col("mlabel").as("label"))
         }
       // the result plan must not reference the about-to-be-unpersisted
-      // edge frame: everything downstream of `und` is already cut by the
-      // localCheckpoints above except the viol branch, which is also
-      // checkpointed — so the final join is safe after release
+      // edge frame: `resolved` is either `lab` (checkpointed) or
+      // lab ⋈ merged, where merged is built from the inner loop's own
+      // checkpoints plus lab — viol (the only und-derived frame here)
+      // was consumed eagerly above, so the final join is safe after
+      // release
       vertices.select(col("id"))
         .join(resolved.withColumnRenamed("label", "touched_label"), Seq("id"), "left")
         .select(col("id"), coalesce(col("touched_label"), col("id")).as("label"))
